@@ -1,0 +1,201 @@
+"""Top-level solve API.
+
+Parity with the reference orchestration layer
+(/root/reference/score/solve_score.py): ``solve_score(data,
+relaxation_type)`` returns a :class:`SolverResults`, and
+``solve_problem_with_intermediate_iterates`` returns one result per
+interior-point iteration. The numerical engine is the TPU-native
+interior-point solver in :mod:`score_tpu.solver.ipm` instead of Gurobi.
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from score_tpu.assembly.conic import (
+    QCQP_RELAXATION,
+    SOCP_RELAXATION,
+    ConicProblem,
+    VariableIndex,
+    build_conic_problem,
+)
+from score_tpu.fg.factor_graph import FactorGraphData
+from score_tpu.fg.solver_utils import SolverResults, VariableValues, save_results_to_file
+from score_tpu.ops.rounding import extract_pose_matrices, homogenize_batched
+from score_tpu.solver.ipm import (
+    IPMResult,
+    OPTIMAL,
+    solve_conic,
+    solve_conic_with_iterates,
+)
+from score_tpu.solver.params import ScoreSolverParams
+
+logger = logging.getLogger(__name__)
+
+__all__ = [
+    "solve_score",
+    "solve_problem_with_intermediate_iterates",
+    "ScoreSolverParams",
+    "extract_solver_results",
+]
+
+
+def _check_factor_graph(data: FactorGraphData) -> None:
+    """Connectivity precondition (parity: solve_score.py:28-32)."""
+    unconnected = data.unconnected_variable_names
+    assert (
+        len(unconnected) == 0
+    ), f"Found {unconnected} unconnected variables. "
+
+
+def _cast_problem(problem: ConicProblem, dtype) -> ConicProblem:
+    import dataclasses as _dc
+
+    def cast(a):
+        a = jnp.asarray(a)
+        return a.astype(dtype) if jnp.issubdtype(a.dtype, jnp.floating) else a
+
+    return _dc.replace(
+        problem,
+        cost_coefs=cast(problem.cost_coefs),
+        cost_b=cast(problem.cost_b),
+        cost_w=cast(problem.cost_w),
+        cone_coefs=cast(problem.cone_coefs),
+        cone_h=cast(problem.cone_h),
+        pin_val=cast(problem.pin_val),
+        c0=cast(problem.c0),
+    )
+
+
+def variable_values_from_x(
+    x: np.ndarray,
+    idx: VariableIndex,
+    distances_x: Optional[np.ndarray] = None,
+) -> VariableValues:
+    """Recover named variable values from the flat solution vector: batched
+    SVD rounding of every rotation block, homogenization, landmark and
+    distance extraction (semantics parity: gurobi_utils.py:114-136)."""
+    d = idx.dim
+    xj = jnp.asarray(x)
+    Rt = extract_pose_matrices(xj, idx.num_poses, d)
+    T = np.asarray(homogenize_batched(Rt))
+    poses = {name: T[i] for i, name in enumerate(idx.pose_names)}
+    xnp = np.asarray(x)
+    landmarks = {
+        name: xnp[idx.landmark_cols(i)] for i, name in enumerate(idx.landmark_names)
+    }
+    distances: Dict[Tuple[str, str], np.ndarray] = {}
+    for m, key in enumerate(idx.dist_keys):
+        distances[tuple(key)] = xnp[idx.dist_cols(m)].copy()
+    return VariableValues(dim=d, poses=poses, landmarks=landmarks, distances=distances)
+
+
+def extract_solver_results(
+    result: IPMResult,
+    idx: VariableIndex,
+    data: FactorGraphData,
+    total_time: float,
+    relaxation: str,
+) -> SolverResults:
+    """Package an IPM result (parity: gurobi_utils.py:190-203)."""
+    values = variable_values_from_x(np.asarray(result.x), idx)
+    return SolverResults(
+        variables=values,
+        total_time=total_time,
+        solved=bool(result.status == OPTIMAL),
+        pose_chain_names=data.get_pose_chain_names(),
+        iterations=int(result.iterations),
+        primal_objective=float(result.pobj),
+        dual_objective=float(result.pobj) - float(result.gap),
+        gap=float(result.gap),
+        primal_residual=float(result.pres),
+        dual_residual=float(result.dres),
+        relaxation=relaxation,
+    )
+
+
+def solve_score(
+    data: FactorGraphData,
+    relaxation_type: str = QCQP_RELAXATION,
+    params: Optional[ScoreSolverParams] = None,
+) -> SolverResults:
+    """Solve the SOCP/QCQP relaxation of a range-aided SLAM problem and
+    return the rounded initialization (parity: solve_score.py:54-86; default
+    relaxation QCQP like the reference).
+    """
+    params = params or ScoreSolverParams()
+    _check_factor_graph(data)
+
+    t0 = time.perf_counter()
+    problem, idx = build_conic_problem(data, relaxation_type)
+    if params.precision == "f32":
+        problem = _cast_problem(problem, jnp.float32)
+    result = solve_conic(problem, params.ipm_params())
+    result.x.block_until_ready()
+    total_time = time.perf_counter() - t0
+
+    if params.verbose:
+        logger.info(
+            "solve_score(%s): status=%d iters=%d pobj=%.6e gap=%.3e "
+            "pres=%.3e dres=%.3e time=%.3fs",
+            relaxation_type,
+            int(result.status),
+            int(result.iterations),
+            float(result.pobj),
+            float(result.gap),
+            float(result.pres),
+            float(result.dres),
+            total_time,
+        )
+
+    results = extract_solver_results(result, idx, data, total_time, relaxation_type)
+    if params.save_results and params.results_filepath:
+        save_results_to_file(results, params.results_filepath)
+    return results
+
+
+def solve_problem_with_intermediate_iterates(
+    data: FactorGraphData,
+    relaxation_type: str = QCQP_RELAXATION,
+    params: Optional[ScoreSolverParams] = None,
+) -> List[SolverResults]:
+    """Return a SolverResults snapshot per interior-point iteration (parity:
+    solve_score.py:89-116). Unlike the reference's re-solve sweep with
+    growing BarIterLimit, the native IPM records its iterates in a single
+    scan — same output, one solve."""
+    logger.warning(
+        "Solving with intermediate iterates - this is for debugging or "
+        "visualization; use solve_score() otherwise"
+    )
+    params = params or ScoreSolverParams()
+    _check_factor_graph(data)
+    t0 = time.perf_counter()
+    problem, idx = build_conic_problem(data, relaxation_type)
+    result, xs = solve_conic_with_iterates(
+        problem, params.ipm_params(), num_iters=params.max_iter
+    )
+    xs.block_until_ready()
+    total_time = time.perf_counter() - t0
+    n_iters = int(result.iterations)
+
+    out: List[SolverResults] = []
+    chains = data.get_pose_chain_names()
+    for it in range(n_iters + 1):
+        values = variable_values_from_x(np.asarray(xs[it]), idx)
+        out.append(
+            SolverResults(
+                variables=values,
+                total_time=total_time,
+                solved=bool(result.status == OPTIMAL) and it == n_iters,
+                pose_chain_names=chains,
+                iterations=it,
+                relaxation=relaxation_type,
+            )
+        )
+    return out

@@ -1,0 +1,59 @@
+"""User-facing solver configuration.
+
+Realizes the ``ScoreSolverParams`` config the reference's example intended
+but never shipped (/root/reference/examples/solve_goats_example_score.py:21,
+28-34 — fields solver/verbose/save_results/init_technique/custom_init_file),
+extended with the interior-point and TPU-precision controls of this
+framework (SURVEY.md §5 config plan).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+from score_tpu.solver.ipm import IPMParams
+
+__all__ = ["ScoreSolverParams"]
+
+
+@dataclasses.dataclass(frozen=True)
+class ScoreSolverParams:
+    """Configuration for :func:`score_tpu.api.solve_score`.
+
+    Tolerances default to 1e-8-grade accuracy — far tighter than the
+    reference's BarQCPConvTol=1e-1 (gurobi_utils.py:212), which it could
+    afford because SCORE is only an initializer. Loosen via ``tol_*`` for
+    initializer-grade speed.
+    """
+
+    # reference-intended fields
+    solver: str = "ipm"  # the native TPU interior-point method
+    verbose: bool = False
+    save_results: bool = False
+    results_filepath: str = ""
+    init_technique: str = "default"  # default | random | zero | odom | gt
+    custom_init_file: Optional[str] = None
+
+    # interior-point controls
+    max_iter: int = 60
+    tol_feas: float = 1e-8
+    tol_gap_abs: float = 1e-8
+    tol_gap_rel: float = 1e-8
+    step_fraction: float = 0.99
+
+    # precision policy: "f64" (accurate, CPU/TPU-emulated), "f32"
+    # (fast TPU path), or "mixed" (f32 factorization + refinement, then
+    # f64 polish iterations)
+    precision: str = "f64"
+    kkt_refine_steps: int = 0
+
+    def ipm_params(self) -> IPMParams:
+        return IPMParams(
+            max_iter=self.max_iter,
+            tol_feas=self.tol_feas,
+            tol_gap_abs=self.tol_gap_abs,
+            tol_gap_rel=self.tol_gap_rel,
+            step_fraction=self.step_fraction,
+            kkt_refine_steps=self.kkt_refine_steps,
+        )
