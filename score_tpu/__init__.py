@@ -26,6 +26,20 @@ if not os.environ.get("SCORE_TPU_NO_X64"):
 
     jax.config.update("jax_enable_x64", True)
 
+# Persistent compilation cache: the emulated-f64 linear-algebra pipelines are
+# expensive to compile (minutes on remote-compile TPU setups) but compile
+# once per (shape, dtype). Opt out with SCORE_TPU_NO_COMPILE_CACHE=1.
+if not os.environ.get("SCORE_TPU_NO_COMPILE_CACHE"):
+    import jax
+
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.environ.get(
+            "SCORE_TPU_COMPILE_CACHE", os.path.expanduser("~/.cache/score_tpu_jax")
+        ),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 from score_tpu.fg import (  # noqa: E402
     FactorGraphData,
     FGRangeMeasurement,
