@@ -1,0 +1,131 @@
+"""Batched and sharded solves.
+
+The reference has no parallelism of any kind (SURVEY.md §2.4); these are
+first-class new components of the TPU framework:
+
+- :func:`stack_problems` — fuse same-structure problem instances (e.g.
+  Monte-Carlo measurement resamples of one graph) into one batched pytree.
+- :func:`solve_conic_batch` — vmap of the IPM over the batch: one compiled
+  program, every trial advanced in lockstep on one chip.
+- :func:`solve_conic_sharded` — shard_map over a device mesh: trials are
+  data-parallel across chips; XLA emits the (trivially light) collectives
+  over ICI.
+
+Because every array in :class:`ConicProblem` and in the IPM state has a
+static shape, a batch axis composes with `vmap`/`shard_map` with no special
+casing.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Sequence
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from score_tpu.assembly.conic import ConicProblem
+from score_tpu.solver.ipm import IPMParams, IPMResult, solve_conic_fixed
+
+__all__ = [
+    "stack_problems",
+    "solve_conic_batch",
+    "solve_conic_sharded",
+    "default_mesh",
+]
+
+_DATA_FIELDS = (
+    "cost_cols",
+    "cost_coefs",
+    "cost_b",
+    "cost_w",
+    "cone_cols",
+    "cone_coefs",
+    "cone_h",
+    "pin_idx",
+    "pin_val",
+    "c0",
+)
+
+
+def stack_problems(problems: Sequence[ConicProblem]) -> ConicProblem:
+    """Stack same-structure problems along a new leading batch axis."""
+    first = problems[0]
+    for pb in problems[1:]:
+        if (pb.n, pb.k, pb.dim, pb.relaxation) != (
+            first.n,
+            first.k,
+            first.dim,
+            first.relaxation,
+        ):
+            raise ValueError("All problems in a batch must share static structure")
+        for f in _DATA_FIELDS:
+            if np.asarray(getattr(pb, f)).shape != np.asarray(getattr(first, f)).shape:
+                raise ValueError(f"Array shape mismatch in field {f}")
+    stacked = {
+        f: jnp.stack([jnp.asarray(getattr(pb, f)) for pb in problems])
+        for f in _DATA_FIELDS
+    }
+    return dataclasses.replace(first, **stacked)
+
+
+def solve_conic_batch(
+    batched_problem: ConicProblem, params: IPMParams = IPMParams()
+) -> IPMResult:
+    """Solve a batch (leading axis on every data field) with one vmapped,
+    jit-compiled IPM. All trials run the full iteration count of the slowest
+    trial; converged trials freeze (the solver's finite-state update is
+    idempotent at convergence tolerance)."""
+    fn = jax.jit(
+        jax.vmap(lambda pb: solve_conic_fixed(pb, params, num_iters=params.max_iter))
+    )
+    return fn(batched_problem)
+
+
+def default_mesh(axis_name: str = "trials", devices=None) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    return Mesh(np.array(devices), (axis_name,))
+
+
+def solve_conic_sharded(
+    batched_problem: ConicProblem,
+    mesh: Optional[Mesh] = None,
+    params: IPMParams = IPMParams(),
+    axis_name: str = "trials",
+) -> IPMResult:
+    """Data-parallel batched solve over a device mesh.
+
+    The batch axis is sharded across ``mesh``; each device runs the vmapped
+    IPM on its shard. Batch size must be divisible by the mesh size.
+    """
+    mesh = mesh or default_mesh(axis_name)
+    n_dev = mesh.devices.size
+    batch = np.asarray(batched_problem.c0).shape[0]
+    if batch % n_dev != 0:
+        raise ValueError(
+            f"Batch size {batch} not divisible by mesh size {n_dev}; pad the "
+            "batch (duplicate trials) to a multiple of the device count"
+        )
+
+    sharding = NamedSharding(mesh, P(axis_name))
+    replicated = NamedSharding(mesh, P())
+
+    def put(x):
+        x = jnp.asarray(x)
+        return jax.device_put(x, sharding)
+
+    batched_problem = dataclasses.replace(
+        batched_problem,
+        **{f: put(getattr(batched_problem, f)) for f in _DATA_FIELDS},
+    )
+
+    @jax.jit
+    def run(pb):
+        return jax.vmap(
+            lambda p: solve_conic_fixed(p, params, num_iters=params.max_iter)
+        )(pb)
+
+    return run(batched_problem)

@@ -267,6 +267,49 @@ def solve_conic(problem: ConicProblem, params: IPMParams = IPMParams()) -> IPMRe
 
 
 @partial(jax.jit, static_argnames=("params", "num_iters"))
+def solve_conic_fixed(
+    problem: ConicProblem,
+    params: IPMParams = IPMParams(),
+    num_iters: int = 50,
+) -> IPMResult:
+    """Fixed-trip-count variant of :func:`solve_conic` with convergence
+    gating via `lax.cond` — the vmap-safe form for batched solves (a vmapped
+    `while_loop` would keep applying the body to already-converged lanes;
+    here converged lanes freeze exactly)."""
+    ops = prepare_operators(problem)
+    x0, s0, z0 = _initial_point(problem, ops)
+    state0 = _State(
+        x=x0, s=s0, z=z0, it=jnp.asarray(0), status=jnp.asarray(RUNNING)
+    )
+
+    def scan_body(state, _):
+        ok, bad, *_ = _convergence(problem, ops, params, state.x, state.s, state.z)
+        active = (state.status == RUNNING) & ~ok & ~bad
+        new_state = jax.lax.cond(
+            active,
+            lambda st: _step(problem, ops, params, st),
+            lambda st: st,
+            state,
+        )
+        return new_state, None
+
+    state, _ = jax.lax.scan(scan_body, state0, None, length=num_iters)
+    ok, bad, pres, dres, gap, pq = _convergence(
+        problem, ops, params, state.x, state.s, state.z
+    )
+    status = jnp.where(
+        state.status != RUNNING,
+        state.status,
+        jnp.where(ok, OPTIMAL, jnp.where(bad, NUMERICAL_ERROR, MAX_ITER)),
+    )
+    return IPMResult(
+        x=state.x, s=state.s, z=state.z,
+        iterations=state.it, status=status,
+        pobj=pq + ops.const, gap=gap, pres=pres, dres=dres,
+    )
+
+
+@partial(jax.jit, static_argnames=("params", "num_iters"))
 def solve_conic_with_iterates(
     problem: ConicProblem,
     params: IPMParams = IPMParams(),

@@ -3,8 +3,11 @@ tests work without TPU hardware (SURVEY.md §4 test plan)."""
 
 import os
 
-# Must be set before jax initializes its backends.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Must be set before jax initializes its backends. Clearing
+# PALLAS_AXON_POOL_IPS prevents the environment's sitecustomize from
+# registering the axon TPU plugin (which otherwise overrides JAX_PLATFORMS).
+os.environ["PALLAS_AXON_POOL_IPS"] = ""
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

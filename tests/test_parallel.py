@@ -1,0 +1,88 @@
+"""Batched (vmap) and sharded (shard_map/device_put) solve tests on the
+virtual 8-device CPU mesh (SURVEY.md §4: multi-chip tests without a
+cluster)."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from score_tpu.assembly.conic import SOCP_RELAXATION, build_conic_problem
+from score_tpu.parallel.batch import (
+    default_mesh,
+    solve_conic_batch,
+    solve_conic_sharded,
+    stack_problems,
+)
+from score_tpu.sim.manhattan import (
+    ManhattanWorldParams,
+    resample_measurements,
+    simulate_manhattan_world,
+)
+from score_tpu.solver.ipm import IPMParams, OPTIMAL, solve_conic
+
+
+@pytest.fixture(scope="module")
+def trial_problems():
+    p = ManhattanWorldParams(
+        num_robots=2,
+        num_poses_per_robot=10,
+        num_landmarks=2,
+        grid_size=6,
+        range_measure_prob=0.5,
+        seed=11,
+    )
+    fg = simulate_manhattan_world(p)
+    trials = [resample_measurements(fg, seed=s) for s in range(8)]
+    return [build_conic_problem(t, SOCP_RELAXATION)[0] for t in trials]
+
+
+class TestBatch:
+    def test_vmap_matches_single_solves(self, trial_problems):
+        params = IPMParams(max_iter=30)
+        batch = stack_problems(trial_problems)
+        res = solve_conic_batch(batch, params)
+        assert np.all(np.asarray(res.status) == OPTIMAL)
+        for i, pb in enumerate(trial_problems[:3]):
+            single = solve_conic(pb, params)
+            assert float(single.pobj) == pytest.approx(
+                float(res.pobj[i]), rel=1e-8, abs=1e-10
+            )
+            np.testing.assert_allclose(
+                np.asarray(single.x), np.asarray(res.x[i]), atol=1e-6
+            )
+
+    def test_stack_rejects_mismatched_structure(self, trial_problems):
+        p = ManhattanWorldParams(
+            num_robots=1, num_poses_per_robot=5, num_landmarks=1,
+            grid_size=4, seed=3,
+        )
+        other = build_conic_problem(
+            simulate_manhattan_world(p), SOCP_RELAXATION
+        )[0]
+        with pytest.raises(ValueError):
+            stack_problems([trial_problems[0], other])
+
+
+class TestSharded:
+    def test_eight_device_mesh_available(self):
+        assert len(jax.devices()) == 8
+
+    def test_sharded_matches_vmap(self, trial_problems):
+        params = IPMParams(max_iter=30)
+        batch = stack_problems(trial_problems)
+        res_v = solve_conic_batch(batch, params)
+        res_s = solve_conic_sharded(batch, default_mesh(), params)
+        np.testing.assert_allclose(
+            np.asarray(res_v.pobj), np.asarray(res_s.pobj), rtol=1e-9
+        )
+        np.testing.assert_allclose(
+            np.asarray(res_v.x), np.asarray(res_s.x), atol=1e-8
+        )
+        assert np.all(np.asarray(res_s.status) == OPTIMAL)
+
+    def test_sharded_rejects_indivisible_batch(self, trial_problems):
+        batch = stack_problems(trial_problems[:6])
+        if len(jax.devices()) == 8:
+            with pytest.raises(ValueError):
+                solve_conic_sharded(batch, default_mesh(), IPMParams(max_iter=5))
