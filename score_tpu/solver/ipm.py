@@ -62,8 +62,14 @@ class IPMParams:
     tol_gap_abs: float = 1e-8
     tol_gap_rel: float = 1e-8
     step_fraction: float = 0.99
-    kkt_refine_steps: int = 0  # iterative-refinement passes per KKT solve
-    static_reg: float = 0.0  # static diagonal regularization of K
+    kkt_refine_steps: int = 1  # iterative-refinement passes per KKT solve
+    # Static diagonal regularization of K, relative to max|diag(K)|; the
+    # refinement passes solve against the TRUE K, so the regularization
+    # perturbs conditioning, not the answer (ECOS/Clarabel-style).
+    static_reg: float = 1e-11
+    # Escalation factor for the retry factorization when the first Cholesky
+    # breaks down (produces non-finite entries).
+    reg_escalation: float = 1e5
 
 
 class IPMResult(NamedTuple):
@@ -115,6 +121,24 @@ def _chol_solve(L, rhs):
     return jax.scipy.linalg.solve_triangular(L.T, y, lower=False)
 
 
+def _robust_cholesky(K, params: IPMParams):
+    """Cholesky of K + delta*I with an escalated-regularization retry when
+    the first factorization breaks down (non-finite entries from a loss of
+    positive definiteness under roundoff — routine in late IPM iterations).
+    Returns the factor; refinement downstream corrects the perturbation."""
+    n = K.shape[0]
+    scale = jnp.max(jnp.abs(jnp.diagonal(K)))
+    delta = params.static_reg * scale
+    eye = jnp.eye(n, dtype=K.dtype)
+    L1 = jnp.linalg.cholesky(K + delta * eye)
+    ok = jnp.all(jnp.isfinite(L1))
+    return jax.lax.cond(
+        ok,
+        lambda: L1,
+        lambda: jnp.linalg.cholesky(K + (params.reg_escalation * delta) * eye),
+    )
+
+
 def _step(problem: ConicProblem, ops: ProblemOperators, params: IPMParams,
           state: _State) -> _State:
     x, s, z = state.x, state.s, state.z
@@ -124,11 +148,8 @@ def _step(problem: ConicProblem, ops: ProblemOperators, params: IPMParams,
     nt = cones.nt_scaling(s, z)
     lam = cones.apply_W(nt, z)
     Winv2 = cones.winv2_matrices(nt)
-    K = ops.P + gtwg_dense(problem, Winv2)
-    if params.static_reg:
-        K = K + params.static_reg * jnp.eye(problem.n, dtype=dtype)
-    K = pin_fix_matrix(K, ops.mask)
-    L = jnp.linalg.cholesky(K)
+    K = pin_fix_matrix(ops.P + gtwg_dense(problem, Winv2), ops.mask)
+    L = _robust_cholesky(K, params)
 
     rx, rz = _residuals(problem, ops, x, s, z)
     gap = cones.inner(s, z)
@@ -188,14 +209,15 @@ def _step(problem: ConicProblem, ops: ProblemOperators, params: IPMParams,
     return _State(x=x_new, s=s_new, z=z_new, it=state.it + 1, status=status)
 
 
-def _initial_point(problem: ConicProblem, ops: ProblemOperators):
+def _initial_point(problem: ConicProblem, ops: ProblemOperators,
+                   params: IPMParams = IPMParams()):
     """CVXOPT-coneqp-style start: solve the W=I KKT system, then shift s, z
     to the cone interior."""
     dtype = ops.P.dtype
     N, k = problem.num_cones, problem.k
     eyes = jnp.broadcast_to(jnp.eye(k, dtype=dtype), (N, k, k))
     K0 = pin_fix_matrix(ops.P + gtwg_dense(problem, eyes), ops.mask)
-    L0 = jnp.linalg.cholesky(K0)
+    L0 = _robust_cholesky(K0, params)
     rhs0 = -ops.q + GT_apply(problem, problem.cone_h)
     pin_contrib = ops.P @ ops.xpin + GT_apply(problem, G_apply(problem, ops.xpin))
     dx0 = _chol_solve(L0, ops.mask * (rhs0 - pin_contrib))
@@ -231,7 +253,7 @@ def solve_conic(problem: ConicProblem, params: IPMParams = IPMParams()) -> IPMRe
             dres=jnp.asarray(0.0, x.dtype),
         )
 
-    x0, s0, z0 = _initial_point(problem, ops)
+    x0, s0, z0 = _initial_point(problem, ops, params)
     state0 = _State(
         x=x0, s=s0, z=z0, it=jnp.asarray(0), status=jnp.asarray(RUNNING)
     )
@@ -277,7 +299,7 @@ def solve_conic_fixed(
     `while_loop` would keep applying the body to already-converged lanes;
     here converged lanes freeze exactly)."""
     ops = prepare_operators(problem)
-    x0, s0, z0 = _initial_point(problem, ops)
+    x0, s0, z0 = _initial_point(problem, ops, params)
     state0 = _State(
         x=x0, s=s0, z=z0, it=jnp.asarray(0), status=jnp.asarray(RUNNING)
     )
@@ -323,7 +345,7 @@ def solve_conic_with_iterates(
     after convergence repeat the converged x.
     """
     ops = prepare_operators(problem)
-    x0, s0, z0 = _initial_point(problem, ops)
+    x0, s0, z0 = _initial_point(problem, ops, params)
     state0 = _State(
         x=x0, s=s0, z=z0, it=jnp.asarray(0), status=jnp.asarray(RUNNING)
     )
