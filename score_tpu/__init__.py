@@ -29,7 +29,11 @@ if not os.environ.get("SCORE_TPU_NO_X64"):
 # Persistent compilation cache: the emulated-f64 linear-algebra pipelines are
 # expensive to compile (minutes on remote-compile TPU setups) but compile
 # once per (shape, dtype). Opt out with SCORE_TPU_NO_COMPILE_CACHE=1.
-if not os.environ.get("SCORE_TPU_NO_COMPILE_CACHE"):
+# Skipped on CPU: remote-compile setups can poison the cache with CPU AOT
+# artifacts built for a different host machine type (SIGILL / bad numerics).
+if not os.environ.get("SCORE_TPU_NO_COMPILE_CACHE") and (
+    os.environ.get("JAX_PLATFORMS", "") != "cpu"
+):
     import jax
 
     jax.config.update(

@@ -31,6 +31,7 @@ from score_tpu.ops.rounding import extract_pose_matrices, homogenize_batched
 from score_tpu.solver.ipm import (
     IPMResult,
     OPTIMAL,
+    SOLVED_STATUSES,
     solve_conic,
     solve_conic_with_iterates,
 )
@@ -108,7 +109,7 @@ def extract_solver_results(
     return SolverResults(
         variables=values,
         total_time=total_time,
-        solved=bool(result.status == OPTIMAL),
+        solved=bool(int(result.status) in SOLVED_STATUSES),
         pose_chain_names=data.get_pose_chain_names(),
         iterations=int(result.iterations),
         primal_objective=float(result.pobj),
@@ -192,7 +193,7 @@ def solve_problem_with_intermediate_iterates(
             SolverResults(
                 variables=values,
                 total_time=total_time,
-                solved=bool(result.status == OPTIMAL) and it == n_iters,
+                solved=bool(int(result.status) in SOLVED_STATUSES) and it == n_iters,
                 pose_chain_names=chains,
                 iterations=it,
                 relaxation=relaxation_type,

@@ -14,13 +14,17 @@ with a Mehrotra predictor-corrector method under Nesterov-Todd scaling:
         ds = -rz - G dx
   * the affine direction uses d = -lambda o lambda; the combined direction
     adds the Mehrotra second-order correction and centering sigma * mu * e;
-  * one Cholesky factorization of K = P + G^T W^{-2} G serves both solves;
+  * one factorization of K = P + G^T W^{-2} G serves both solves;
   * the gauge pin (first pose = [I|0]) is enforced by masking pinned
     rows/columns of K and of the dual residual (free-subspace Newton step).
 
+The Newton-system linear algebra is delegated to a pluggable KKT backend
+(:mod:`score_tpu.solver.backend`): dense Cholesky (reference) or the
+structure-exploiting chain+arrow factorization (production path).
+
 The whole iteration is a `lax.while_loop` of dense/batched array ops — fully
-jit-able, vmap-able over batched problem instances, and differentiable in
-structure (no host round-trips).
+jit-compiled with no host round-trips; the fixed-trip variants are
+vmap-safe for batched Monte-Carlo solves.
 """
 
 from __future__ import annotations
@@ -34,22 +38,23 @@ import jax.numpy as jnp
 
 from score_tpu.assembly.conic import ConicProblem
 from score_tpu.solver import cones
-from score_tpu.solver.linops import (
-    G_apply,
-    GT_apply,
-    ProblemOperators,
-    gtwg_dense,
-    pin_fix_matrix,
-    prepare_operators,
-)
+from score_tpu.solver.backend import DenseBackend
 
-__all__ = ["IPMParams", "IPMResult", "solve_conic", "solve_conic_with_iterates"]
+__all__ = [
+    "IPMParams",
+    "IPMResult",
+    "solve_conic",
+    "solve_conic_fixed",
+    "solve_conic_with_iterates",
+]
 
 # Status codes.
 RUNNING = 0
 OPTIMAL = 1
 MAX_ITER = 2
 NUMERICAL_ERROR = 3
+OPTIMAL_INACCURATE = 4  # stopped early but meets the reduced tolerances
+SOLVED_STATUSES = (OPTIMAL, OPTIMAL_INACCURATE)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -70,6 +75,14 @@ class IPMParams:
     # Escalation factor for the retry factorization when the first Cholesky
     # breaks down (produces non-finite entries).
     reg_escalation: float = 1e5
+    # Reduced ("solved to lower accuracy") tolerances applied when the
+    # iteration stops on max_iter, stagnation, or a numerical breakdown.
+    # Still far tighter than the reference's 1e-1 (gurobi_utils.py:212).
+    tol_feas_reduced: float = 1e-6
+    tol_gap_reduced: float = 1e-6
+    # Stop after this many consecutive iterations without improving the
+    # best-iterate metric (endgame thrashing at the precision floor).
+    stall_limit: int = 5
 
 
 class IPMResult(NamedTuple):
@@ -90,68 +103,93 @@ class _State(NamedTuple):
     z: jnp.ndarray
     it: jnp.ndarray
     status: jnp.ndarray
+    # best-iterate tracking: the returned solution is the best iterate seen
+    # (by max of scaled residuals and relative gap), which makes the solver
+    # robust to endgame thrashing at the floating-point floor.
+    best_x: jnp.ndarray
+    best_s: jnp.ndarray
+    best_z: jnp.ndarray
+    best_metric: jnp.ndarray
+    stall: jnp.ndarray
 
 
-def _residuals(problem, ops: ProblemOperators, x, s, z):
-    rx = ops.mask * (ops.P @ x + ops.q + GT_apply(problem, z))
-    rz = G_apply(problem, x) + s - problem.cone_h
+def _residuals(backend, problem, state, x, s, z):
+    rx = state.mask * (
+        backend.P_matvec(state, x) + state.q + backend.GT(problem, state, z)
+    )
+    rz = backend.G(problem, state, x) + s - problem.cone_h
     return rx, rz
 
 
-def _convergence(problem, ops, params: IPMParams, x, s, z):
-    rx, rz = _residuals(problem, ops, x, s, z)
-    pres = jnp.linalg.norm(rz) / ops.hnorm
-    dres = jnp.linalg.norm(rx) / ops.qnorm
+def _convergence(backend, problem, state, params: IPMParams, x, s, z):
+    rx, rz = _residuals(backend, problem, state, x, s, z)
+    pres = jnp.linalg.norm(rz) / state.hnorm
+    dres = jnp.linalg.norm(rx) / state.qnorm
     gap = cones.inner(s, z)
-    pq = 0.5 * x @ (ops.P @ x) + ops.q @ x
+    pq = 0.5 * x @ backend.P_matvec(state, x) + state.q @ x
     relgap = gap / jnp.maximum(1.0, jnp.abs(pq))
     ok = (
         (pres < params.tol_feas)
         & (dres < params.tol_feas)
         & ((gap < params.tol_gap_abs) | (relgap < params.tol_gap_rel))
     )
-    bad = ~(
-        jnp.isfinite(pres) & jnp.isfinite(dres) & jnp.isfinite(gap)
-    )
+    bad = ~(jnp.isfinite(pres) & jnp.isfinite(dres) & jnp.isfinite(gap))
     return ok, bad, pres, dres, gap, pq
 
 
-def _chol_solve(L, rhs):
-    y = jax.scipy.linalg.solve_triangular(L, rhs, lower=True)
-    return jax.scipy.linalg.solve_triangular(L.T, y, lower=False)
+def _metric(pres, dres, gap, pq):
+    relgap = jnp.abs(gap) / jnp.maximum(1.0, jnp.abs(pq))
+    m = jnp.maximum(jnp.maximum(pres, dres), relgap)
+    return jnp.where(jnp.isfinite(m), m, jnp.inf)
 
 
-def _robust_cholesky(K, params: IPMParams):
-    """Cholesky of K + delta*I with an escalated-regularization retry when
-    the first factorization breaks down (non-finite entries from a loss of
-    positive definiteness under roundoff — routine in late IPM iterations).
-    Returns the factor; refinement downstream corrects the perturbation."""
-    n = K.shape[0]
-    scale = jnp.max(jnp.abs(jnp.diagonal(K)))
-    delta = params.static_reg * scale
-    eye = jnp.eye(n, dtype=K.dtype)
-    L1 = jnp.linalg.cholesky(K + delta * eye)
-    ok = jnp.all(jnp.isfinite(L1))
+def _advance(backend, problem, state_ops, params, st: _State) -> _State:
+    """One loop trip: convergence bookkeeping (best-iterate + stall
+    tracking), then a Mehrotra step unless terminal."""
+    ok, bad, pres, dres, gap, pq = _convergence(
+        backend, problem, state_ops, params, st.x, st.s, st.z
+    )
+    m = _metric(pres, dres, gap, pq)
+    improved = m < st.best_metric
+    best_x = jnp.where(improved, st.x, st.best_x)
+    best_s = jnp.where(improved, st.s, st.best_s)
+    best_z = jnp.where(improved, st.z, st.best_z)
+    best_metric = jnp.minimum(m, st.best_metric)
+    stall = jnp.where(improved, 0, st.stall + 1)
+
+    stalled = stall >= params.stall_limit
+    terminal = ok | bad | stalled | (st.status != RUNNING)
+    status = jnp.where(
+        st.status != RUNNING,
+        st.status,
+        jnp.where(ok, OPTIMAL,
+                  jnp.where(bad, NUMERICAL_ERROR,
+                            jnp.where(stalled, MAX_ITER, RUNNING))),
+    )
+    st = st._replace(
+        status=status, best_x=best_x, best_s=best_s, best_z=best_z,
+        best_metric=best_metric, stall=stall,
+    )
     return jax.lax.cond(
-        ok,
-        lambda: L1,
-        lambda: jnp.linalg.cholesky(K + (params.reg_escalation * delta) * eye),
+        terminal,
+        lambda s: s,
+        lambda s: _step(backend, problem, state_ops, params, s),
+        st,
     )
 
 
-def _step(problem: ConicProblem, ops: ProblemOperators, params: IPMParams,
-          state: _State) -> _State:
-    x, s, z = state.x, state.s, state.z
+def _step(backend, problem: ConicProblem, state_ops, params: IPMParams,
+          st: _State) -> _State:
+    x, s, z = st.x, st.s, st.z
     N = problem.num_cones
     dtype = x.dtype
 
     nt = cones.nt_scaling(s, z)
     lam = cones.apply_W(nt, z)
     Winv2 = cones.winv2_matrices(nt)
-    K = pin_fix_matrix(ops.P + gtwg_dense(problem, Winv2), ops.mask)
-    L = _robust_cholesky(K, params)
+    factors = backend.factor(problem, state_ops, Winv2, params)
 
-    rx, rz = _residuals(problem, ops, x, s, z)
+    rx, rz = _residuals(backend, problem, state_ops, x, s, z)
     gap = cones.inner(s, z)
     mu = gap / N
 
@@ -159,12 +197,9 @@ def _step(problem: ConicProblem, ops: ProblemOperators, params: IPMParams,
         v = cones.apply_W(nt, cones.jordan_solve(lam, d))  # W (lambda \ d)
         rzv = rz + v
         wrz = jnp.einsum("mij,mj->mi", Winv2, rzv)
-        rhs = ops.mask * (-(rx) - GT_apply(problem, wrz))
-        dx = _chol_solve(L, rhs)
-        for _ in range(params.kkt_refine_steps):
-            resid = rhs - ops.mask * (K @ dx)
-            dx = dx + _chol_solve(L, resid)
-        Gdx = G_apply(problem, dx)
+        rhs = state_ops.mask * (-(rx) - backend.GT(problem, state_ops, wrz))
+        dx = backend.solve(problem, state_ops, factors, rhs, params)
+        Gdx = backend.G(problem, state_ops, dx)
         dz = jnp.einsum("mij,mj->mi", Winv2, Gdx + rzv)
         ds = -rz - Gdx
         return dx, ds, dz
@@ -199,181 +234,187 @@ def _step(problem: ConicProblem, ops: ProblemOperators, params: IPMParams,
         jnp.all(jnp.isfinite(x_new))
         & jnp.all(jnp.isfinite(s_new))
         & jnp.all(jnp.isfinite(z_new))
-        & jnp.all(jnp.isfinite(L))
     )
     x_new = jnp.where(finite, x_new, x)
     s_new = jnp.where(finite, s_new, s)
     z_new = jnp.where(finite, z_new, z)
-    status = jnp.where(finite, state.status, NUMERICAL_ERROR)
+    status = jnp.where(finite, st.status, NUMERICAL_ERROR)
 
-    return _State(x=x_new, s=s_new, z=z_new, it=state.it + 1, status=status)
+    return st._replace(x=x_new, s=s_new, z=z_new, it=st.it + 1, status=status)
 
 
-def _initial_point(problem: ConicProblem, ops: ProblemOperators,
-                   params: IPMParams = IPMParams()):
+def _initial_point(backend, problem: ConicProblem, state_ops,
+                   params: IPMParams):
     """CVXOPT-coneqp-style start: solve the W=I KKT system, then shift s, z
     to the cone interior."""
-    dtype = ops.P.dtype
+    dtype = state_ops.q.dtype
     N, k = problem.num_cones, problem.k
     eyes = jnp.broadcast_to(jnp.eye(k, dtype=dtype), (N, k, k))
-    K0 = pin_fix_matrix(ops.P + gtwg_dense(problem, eyes), ops.mask)
-    L0 = _robust_cholesky(K0, params)
-    rhs0 = -ops.q + GT_apply(problem, problem.cone_h)
-    pin_contrib = ops.P @ ops.xpin + GT_apply(problem, G_apply(problem, ops.xpin))
-    dx0 = _chol_solve(L0, ops.mask * (rhs0 - pin_contrib))
-    x0 = ops.xpin + dx0
-    z_raw = G_apply(problem, x0) - problem.cone_h
+    factors0 = backend.factor(problem, state_ops, eyes, params)
+    rhs0 = -state_ops.q + backend.GT(problem, state_ops, problem.cone_h)
+    pin_contrib = backend.P_matvec(state_ops, state_ops.xpin) + backend.GT(
+        problem, state_ops, backend.G(problem, state_ops, state_ops.xpin)
+    )
+    dx0 = backend.solve(
+        problem, state_ops, factors0,
+        state_ops.mask * (rhs0 - pin_contrib), params,
+    )
+    x0 = state_ops.xpin + dx0
+    z_raw = backend.G(problem, state_ops, x0) - problem.cone_h
     s0 = cones.shift_to_interior(-z_raw)
     z0 = cones.shift_to_interior(z_raw)
     return x0, s0, z0
 
 
-@partial(jax.jit, static_argnames=("params",))
-def solve_conic(problem: ConicProblem, params: IPMParams = IPMParams()) -> IPMResult:
-    """Solve a ConicProblem. Fully jit-compiled; vmap over a batch of
-    problems with identical static shape for Monte-Carlo batching."""
-    ops = prepare_operators(problem)
-
-    if problem.num_cones == 0:
-        # Degenerate: an unconstrained equality-pinned QP.
-        K = pin_fix_matrix(ops.P, ops.mask)
-        L = jnp.linalg.cholesky(K)
-        x = ops.xpin + _chol_solve(
-            L, ops.mask * (-(ops.q) - ops.P @ ops.xpin)
-        )
-        zero = jnp.zeros((0, problem.k), dtype=x.dtype)
-        pobj = 0.5 * x @ (ops.P @ x) + ops.q @ x + ops.const
-        return IPMResult(
-            x=x, s=zero, z=zero,
-            iterations=jnp.asarray(0),
-            status=jnp.asarray(OPTIMAL),
-            pobj=pobj,
-            gap=jnp.asarray(0.0, x.dtype),
-            pres=jnp.asarray(0.0, x.dtype),
-            dres=jnp.asarray(0.0, x.dtype),
-        )
-
-    x0, s0, z0 = _initial_point(problem, ops, params)
-    state0 = _State(
-        x=x0, s=s0, z=z0, it=jnp.asarray(0), status=jnp.asarray(RUNNING)
+def _degenerate_no_cones(backend, problem, state_ops, params):
+    """No cones: an equality-pinned unconstrained QP, one factor+solve."""
+    N, k = problem.num_cones, problem.k
+    eyes = jnp.zeros((N, k, k), dtype=state_ops.q.dtype)
+    factors = backend.factor(problem, state_ops, eyes, params)
+    x = state_ops.xpin + backend.solve(
+        problem, state_ops, factors,
+        state_ops.mask * (
+            -(state_ops.q) - backend.P_matvec(state_ops, state_ops.xpin)
+        ),
+        params,
+    )
+    zero = jnp.zeros((0, problem.k), dtype=x.dtype)
+    pobj = 0.5 * x @ backend.P_matvec(state_ops, x) + state_ops.q @ x
+    return IPMResult(
+        x=x, s=zero, z=zero,
+        iterations=jnp.asarray(0),
+        status=jnp.asarray(OPTIMAL),
+        pobj=pobj + state_ops.const,
+        gap=jnp.asarray(0.0, x.dtype),
+        pres=jnp.asarray(0.0, x.dtype),
+        dres=jnp.asarray(0.0, x.dtype),
     )
 
-    def cond(state):
-        ok, bad, *_ = _convergence(problem, ops, params, state.x, state.s, state.z)
-        running = (state.status == RUNNING) & ~ok & ~bad
-        return running & (state.it < params.max_iter)
 
-    state = jax.lax.while_loop(
-        cond, lambda st: _step(problem, ops, params, st), state0
+def _finalize(backend, problem, state_ops, params, state: _State) -> IPMResult:
+    # Evaluate on the BEST iterate seen (and fold in the final iterate in
+    # case the loop exited before bookkeeping saw it).
+    okf, badf, presf, dresf, gapf, pqf = _convergence(
+        backend, problem, state_ops, params, state.x, state.s, state.z
     )
-
+    final_better = _metric(presf, dresf, gapf, pqf) < state.best_metric
+    x = jnp.where(final_better, state.x, state.best_x)
+    s = jnp.where(final_better, state.s, state.best_s)
+    z = jnp.where(final_better, state.z, state.best_z)
     ok, bad, pres, dres, gap, pq = _convergence(
-        problem, ops, params, state.x, state.s, state.z
+        backend, problem, state_ops, params, x, s, z
+    )
+    relgap = gap / jnp.maximum(1.0, jnp.abs(pq))
+    ok_reduced = (
+        (pres < params.tol_feas_reduced)
+        & (dres < params.tol_feas_reduced)
+        & ((gap < params.tol_gap_reduced) | (relgap < params.tol_gap_reduced))
+        & jnp.isfinite(gap)
     )
     status = jnp.where(
-        state.status != RUNNING,
-        state.status,
-        jnp.where(ok, OPTIMAL, jnp.where(bad, NUMERICAL_ERROR, MAX_ITER)),
+        ok,
+        OPTIMAL,
+        jnp.where(
+            ok_reduced,
+            OPTIMAL_INACCURATE,
+            jnp.where(
+                state.status == NUMERICAL_ERROR,
+                NUMERICAL_ERROR,
+                jnp.where(bad, NUMERICAL_ERROR, MAX_ITER),
+            ),
+        ),
     )
     return IPMResult(
-        x=state.x,
-        s=state.s,
-        z=state.z,
-        iterations=state.it,
-        status=status,
-        pobj=pq + ops.const,
-        gap=gap,
-        pres=pres,
-        dres=dres,
+        x=x, s=s, z=z,
+        iterations=state.it, status=status,
+        pobj=pq + state_ops.const, gap=gap, pres=pres, dres=dres,
     )
 
 
-@partial(jax.jit, static_argnames=("params", "num_iters"))
+@partial(jax.jit, static_argnames=("params", "backend"))
+def solve_conic(
+    problem: ConicProblem,
+    params: IPMParams = IPMParams(),
+    backend=DenseBackend,
+) -> IPMResult:
+    """Solve a ConicProblem. Fully jit-compiled; early-exits on
+    convergence via `lax.while_loop` (use :func:`solve_conic_fixed` under
+    vmap)."""
+    state_ops = backend.prepare(problem)
+
+    if problem.num_cones == 0:
+        return _degenerate_no_cones(backend, problem, state_ops, params)
+
+    st0 = _make_initial_state(backend, problem, state_ops, params)
+
+    st = jax.lax.while_loop(
+        lambda s: (s.status == RUNNING) & (s.it < params.max_iter),
+        lambda s: _advance(backend, problem, state_ops, params, s),
+        st0,
+    )
+    return _finalize(backend, problem, state_ops, params, st)
+
+
+def _make_initial_state(backend, problem, state_ops, params) -> _State:
+    x0, s0, z0 = _initial_point(backend, problem, state_ops, params)
+    inf = jnp.asarray(jnp.inf, dtype=x0.dtype)
+    return _State(
+        x=x0, s=s0, z=z0, it=jnp.asarray(0), status=jnp.asarray(RUNNING),
+        best_x=x0, best_s=s0, best_z=z0, best_metric=inf,
+        stall=jnp.asarray(0),
+    )
+
+
+def _scan_solve(backend, problem, params, num_iters, record_iterates):
+    state_ops = backend.prepare(problem)
+    st0 = _make_initial_state(backend, problem, state_ops, params)
+
+    def scan_body(st, _):
+        new_st = jax.lax.cond(
+            (st.status == RUNNING),
+            lambda s: _advance(backend, problem, state_ops, params, s),
+            lambda s: s,
+            st,
+        )
+        out = new_st.x if record_iterates else None
+        return new_st, out
+
+    st, xs = jax.lax.scan(scan_body, st0, None, length=num_iters)
+    result = _finalize(backend, problem, state_ops, params, st)
+    if record_iterates:
+        xs = jnp.concatenate([st0.x[None], xs], axis=0)
+    return result, xs
+
+
+@partial(jax.jit, static_argnames=("params", "num_iters", "backend"))
 def solve_conic_fixed(
     problem: ConicProblem,
     params: IPMParams = IPMParams(),
     num_iters: int = 50,
+    backend=DenseBackend,
 ) -> IPMResult:
-    """Fixed-trip-count variant of :func:`solve_conic` with convergence
-    gating via `lax.cond` — the vmap-safe form for batched solves (a vmapped
-    `while_loop` would keep applying the body to already-converged lanes;
-    here converged lanes freeze exactly)."""
-    ops = prepare_operators(problem)
-    x0, s0, z0 = _initial_point(problem, ops, params)
-    state0 = _State(
-        x=x0, s=s0, z=z0, it=jnp.asarray(0), status=jnp.asarray(RUNNING)
-    )
-
-    def scan_body(state, _):
-        ok, bad, *_ = _convergence(problem, ops, params, state.x, state.s, state.z)
-        active = (state.status == RUNNING) & ~ok & ~bad
-        new_state = jax.lax.cond(
-            active,
-            lambda st: _step(problem, ops, params, st),
-            lambda st: st,
-            state,
-        )
-        return new_state, None
-
-    state, _ = jax.lax.scan(scan_body, state0, None, length=num_iters)
-    ok, bad, pres, dres, gap, pq = _convergence(
-        problem, ops, params, state.x, state.s, state.z
-    )
-    status = jnp.where(
-        state.status != RUNNING,
-        state.status,
-        jnp.where(ok, OPTIMAL, jnp.where(bad, NUMERICAL_ERROR, MAX_ITER)),
-    )
-    return IPMResult(
-        x=state.x, s=state.s, z=state.z,
-        iterations=state.it, status=status,
-        pobj=pq + ops.const, gap=gap, pres=pres, dres=dres,
-    )
+    """Fixed-trip-count variant with convergence gating via `lax.cond` —
+    the vmap-safe form for batched solves (a vmapped `while_loop` would keep
+    applying the body to already-converged lanes; here they freeze)."""
+    state_ops = backend.prepare(problem)
+    if problem.num_cones == 0:
+        return _degenerate_no_cones(backend, problem, state_ops, params)
+    result, _ = _scan_solve(backend, problem, params, num_iters, False)
+    return result
 
 
-@partial(jax.jit, static_argnames=("params", "num_iters"))
+@partial(jax.jit, static_argnames=("params", "num_iters", "backend"))
 def solve_conic_with_iterates(
     problem: ConicProblem,
     params: IPMParams = IPMParams(),
     num_iters: int = 50,
+    backend=DenseBackend,
 ) -> Tuple[IPMResult, jnp.ndarray]:
     """Like :func:`solve_conic` but records x after every iteration
     (parity with the reference's BarIterLimit iterate sweep,
-    solve_score.py:89-116 — here it is a single scan, not N re-solves).
+    solve_score.py:89-116 — here a single scan, not N re-solves).
 
     Returns (result, xs) with xs of shape (num_iters + 1, n); iterations
     after convergence repeat the converged x.
     """
-    ops = prepare_operators(problem)
-    x0, s0, z0 = _initial_point(problem, ops, params)
-    state0 = _State(
-        x=x0, s=s0, z=z0, it=jnp.asarray(0), status=jnp.asarray(RUNNING)
-    )
-
-    def scan_body(state, _):
-        ok, bad, *_ = _convergence(problem, ops, params, state.x, state.s, state.z)
-        active = (state.status == RUNNING) & ~ok & ~bad
-        new_state = jax.lax.cond(
-            active,
-            lambda st: _step(problem, ops, params, st),
-            lambda st: st,
-            state,
-        )
-        return new_state, new_state.x
-
-    state, xs = jax.lax.scan(scan_body, state0, None, length=num_iters)
-    ok, bad, pres, dres, gap, pq = _convergence(
-        problem, ops, params, state.x, state.s, state.z
-    )
-    status = jnp.where(
-        state.status != RUNNING,
-        state.status,
-        jnp.where(ok, OPTIMAL, jnp.where(bad, NUMERICAL_ERROR, MAX_ITER)),
-    )
-    result = IPMResult(
-        x=state.x, s=state.s, z=state.z,
-        iterations=state.it, status=status,
-        pobj=pq + ops.const, gap=gap, pres=pres, dres=dres,
-    )
-    xs_all = jnp.concatenate([x0[None], xs], axis=0)
-    return result, xs_all
+    return _scan_solve(backend, problem, params, num_iters, True)
