@@ -74,7 +74,7 @@ class TestSharded:
         res_v = solve_conic_batch(batch, params)
         res_s = solve_conic_sharded(batch, default_mesh(), params)
         np.testing.assert_allclose(
-            np.asarray(res_v.pobj), np.asarray(res_s.pobj), rtol=1e-6
+            np.asarray(res_v.pobj), np.asarray(res_s.pobj), rtol=1e-6, atol=1e-7
         )
         assert np.all(np.isin(np.asarray(res_s.status), (1, 4)))
 
