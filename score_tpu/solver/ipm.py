@@ -122,11 +122,32 @@ def _residuals(backend, problem, state, x, s, z):
 
 
 def _convergence(backend, problem, state, params: IPMParams, x, s, z):
-    rx, rz = _residuals(backend, problem, state, x, s, z)
-    pres = jnp.linalg.norm(rz) / state.hnorm
-    dres = jnp.linalg.norm(rx) / state.qnorm
+    # Residuals scaled by the magnitude of their constituent terms
+    # (SCS/Clarabel-style), so convergence is relative even when q or h
+    # vanish (e.g. QCQP mode has q = 0 when there are no landmark priors).
+    Px = backend.P_matvec(state, x)
+    Gtz = backend.GT(problem, state, z)
+    Gx = backend.G(problem, state, x)
+    rx = state.mask * (Px + state.q + Gtz)
+    rz = Gx + s - problem.cone_h
+    dscale = jnp.maximum(
+        1.0,
+        jnp.maximum(
+            jnp.linalg.norm(Px),
+            jnp.maximum(jnp.linalg.norm(Gtz), state.qnorm),
+        ),
+    )
+    pscale = jnp.maximum(
+        1.0,
+        jnp.maximum(
+            jnp.linalg.norm(Gx),
+            jnp.maximum(jnp.linalg.norm(s), state.hnorm),
+        ),
+    )
+    pres = jnp.linalg.norm(rz) / pscale
+    dres = jnp.linalg.norm(rx) / dscale
     gap = cones.inner(s, z)
-    pq = 0.5 * x @ backend.P_matvec(state, x) + state.q @ x
+    pq = 0.5 * x @ Px + state.q @ x
     relgap = gap / jnp.maximum(1.0, jnp.abs(pq))
     ok = (
         (pres < params.tol_feas)
