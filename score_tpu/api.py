@@ -35,6 +35,8 @@ from score_tpu.solver.ipm import (
     solve_conic,
     solve_conic_with_iterates,
 )
+from score_tpu.solver.backend import DenseBackend
+from score_tpu.solver.chain_arrow import ChainArrowBackend, build_chain_arrow
 from score_tpu.solver.params import ScoreSolverParams
 
 logger = logging.getLogger(__name__)
@@ -45,6 +47,28 @@ __all__ = [
     "ScoreSolverParams",
     "extract_solver_results",
 ]
+
+
+def _select_backend(
+    data: FactorGraphData,
+    problem: ConicProblem,
+    idx: VariableIndex,
+    params: ScoreSolverParams,
+):
+    """Resolve the KKT backend: the chain+arrow structured factorization
+    when supported (2D, no loop closures), dense Cholesky otherwise."""
+    choice = params.backend
+    supported = data.dimension == 2 and len(data.loop_closure_measurements) == 0
+    if choice == "dense" or (choice == "auto" and not supported):
+        return DenseBackend, None
+    if choice in ("auto", "chain_arrow"):
+        if not supported:
+            raise ValueError(
+                "chain_arrow backend requires a 2D problem without loop "
+                "closures; use backend='dense'"
+            )
+        return ChainArrowBackend, build_chain_arrow(problem, idx)
+    raise ValueError(f"Unknown backend {choice!r}")
 
 
 def _check_factor_graph(data: FactorGraphData) -> None:
@@ -137,7 +161,10 @@ def solve_score(
     problem, idx = build_conic_problem(data, relaxation_type)
     if params.precision == "f32":
         problem = _cast_problem(problem, jnp.float32)
-    result = solve_conic(problem, params.ipm_params())
+    backend, backend_aux = _select_backend(data, problem, idx, params)
+    result = solve_conic(
+        problem, params.ipm_params(), backend=backend, backend_aux=backend_aux
+    )
     result.x.block_until_ready()
     total_time = time.perf_counter() - t0
 
@@ -178,8 +205,10 @@ def solve_problem_with_intermediate_iterates(
     _check_factor_graph(data)
     t0 = time.perf_counter()
     problem, idx = build_conic_problem(data, relaxation_type)
+    backend, backend_aux = _select_backend(data, problem, idx, params)
     result, xs = solve_conic_with_iterates(
-        problem, params.ipm_params(), num_iters=params.max_iter
+        problem, params.ipm_params(), num_iters=params.max_iter,
+        backend=backend, backend_aux=backend_aux,
     )
     xs.block_until_ready()
     total_time = time.perf_counter() - t0

@@ -46,7 +46,7 @@ class DenseBackend:
     """Dense-KKT backend (SURVEY.md §7 build-order step 3)."""
 
     @staticmethod
-    def prepare(problem: ConicProblem) -> ProblemOperators:
+    def prepare(problem: ConicProblem, aux=None) -> ProblemOperators:
         return prepare_operators(problem)
 
     @staticmethod

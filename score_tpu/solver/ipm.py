@@ -357,11 +357,13 @@ def solve_conic(
     problem: ConicProblem,
     params: IPMParams = IPMParams(),
     backend=DenseBackend,
+    backend_aux=None,
 ) -> IPMResult:
     """Solve a ConicProblem. Fully jit-compiled; early-exits on
     convergence via `lax.while_loop` (use :func:`solve_conic_fixed` under
-    vmap)."""
-    state_ops = backend.prepare(problem)
+    vmap). ``backend_aux`` carries backend-specific static structure (e.g.
+    the chain-arrow layout)."""
+    state_ops = backend.prepare(problem, backend_aux)
 
     if problem.num_cones == 0:
         return _degenerate_no_cones(backend, problem, state_ops, params)
@@ -386,8 +388,9 @@ def _make_initial_state(backend, problem, state_ops, params) -> _State:
     )
 
 
-def _scan_solve(backend, problem, params, num_iters, record_iterates):
-    state_ops = backend.prepare(problem)
+def _scan_solve(backend, problem, params, num_iters, record_iterates,
+                backend_aux=None):
+    state_ops = backend.prepare(problem, backend_aux)
     st0 = _make_initial_state(backend, problem, state_ops, params)
 
     def scan_body(st, _):
@@ -413,14 +416,16 @@ def solve_conic_fixed(
     params: IPMParams = IPMParams(),
     num_iters: int = 50,
     backend=DenseBackend,
+    backend_aux=None,
 ) -> IPMResult:
     """Fixed-trip-count variant with convergence gating via `lax.cond` —
     the vmap-safe form for batched solves (a vmapped `while_loop` would keep
     applying the body to already-converged lanes; here they freeze)."""
-    state_ops = backend.prepare(problem)
+    state_ops = backend.prepare(problem, backend_aux)
     if problem.num_cones == 0:
         return _degenerate_no_cones(backend, problem, state_ops, params)
-    result, _ = _scan_solve(backend, problem, params, num_iters, False)
+    result, _ = _scan_solve(backend, problem, params, num_iters, False,
+                            backend_aux)
     return result
 
 
@@ -430,6 +435,7 @@ def solve_conic_with_iterates(
     params: IPMParams = IPMParams(),
     num_iters: int = 50,
     backend=DenseBackend,
+    backend_aux=None,
 ) -> Tuple[IPMResult, jnp.ndarray]:
     """Like :func:`solve_conic` but records x after every iteration
     (parity with the reference's BarIterLimit iterate sweep,
@@ -438,4 +444,4 @@ def solve_conic_with_iterates(
     Returns (result, xs) with xs of shape (num_iters + 1, n); iterations
     after convergence repeat the converged x.
     """
-    return _scan_solve(backend, problem, params, num_iters, True)
+    return _scan_solve(backend, problem, params, num_iters, True, backend_aux)

@@ -48,6 +48,11 @@ class ScoreSolverParams:
     precision: str = "f64"
     kkt_refine_steps: int = 0
 
+    # KKT backend: "auto" picks the structure-exploiting chain+arrow
+    # factorization when the problem supports it (2D, no loop closures)
+    # and falls back to dense Cholesky otherwise.
+    backend: str = "auto"  # auto | chain_arrow | dense
+
     def ipm_params(self) -> IPMParams:
         return IPMParams(
             max_iter=self.max_iter,

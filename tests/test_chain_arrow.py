@@ -1,0 +1,136 @@
+"""Chain+arrow structured KKT backend: exact parity with the dense backend
+on operators, KKT solves, and full IPM solves — including arrow poses
+(pose-pose ranges), pinned arrow poses, multi-robot chains of unequal
+length, and both relaxations."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from score_tpu.assembly.conic import (
+    QCQP_RELAXATION,
+    SOCP_RELAXATION,
+    build_conic_problem,
+)
+from score_tpu.solver import cones
+from score_tpu.solver.backend import DenseBackend
+from score_tpu.solver.chain_arrow import ChainArrowBackend, build_chain_arrow
+from score_tpu.solver.ipm import IPMParams, SOLVED_STATUSES, solve_conic
+from score_tpu.sim.manhattan import ManhattanWorldParams, simulate_manhattan_world
+from tests.test_assembly import small_graph
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(11)
+
+
+def graphs(rng):
+    g1 = small_graph(rng, loop=False)  # chain + landmarks + pose-pose range
+    g2 = simulate_manhattan_world(
+        ManhattanWorldParams(
+            num_robots=3,
+            num_poses_per_robot=9,
+            num_landmarks=2,
+            grid_size=6,
+            range_measure_prob=0.5,
+            inter_robot_measure_prob=0.4,
+            inter_robot_sensing_radius=10.0,
+            seed=4,
+        )
+    )
+    return [("single+ppr", g1), ("3robot", g2)]
+
+
+def interior(rng, N, k):
+    u1 = rng.normal(size=(N, k - 1))
+    u0 = np.linalg.norm(u1, axis=1) + rng.uniform(0.5, 2.0, size=N)
+    return jnp.asarray(np.concatenate([u0[:, None], u1], axis=1))
+
+
+@pytest.mark.parametrize("relaxation", [SOCP_RELAXATION, QCQP_RELAXATION])
+class TestOperatorParity:
+    def test_P_q_GT_match_dense(self, rng, relaxation):
+        for label, fg in graphs(rng):
+            problem, idx = build_conic_problem(fg, relaxation)
+            ca = build_chain_arrow(problem, idx)
+            ds = DenseBackend.prepare(problem)
+            cs = ChainArrowBackend.prepare(problem, ca)
+            v = jnp.asarray(rng.normal(size=problem.n))
+            np.testing.assert_allclose(
+                np.asarray(DenseBackend.P_matvec(ds, v)),
+                np.asarray(ChainArrowBackend.P_matvec(cs, v)),
+                atol=1e-9,
+                err_msg=f"P matvec mismatch ({label})",
+            )
+            np.testing.assert_allclose(
+                np.asarray(ds.q), np.asarray(cs.q), atol=1e-12
+            )
+            assert float(ds.const) == pytest.approx(float(cs.const))
+            z = jnp.asarray(
+                rng.normal(size=(problem.num_cones, problem.k))
+            )
+            np.testing.assert_allclose(
+                np.asarray(DenseBackend.GT(problem, ds, z)),
+                np.asarray(ChainArrowBackend.GT(problem, cs, z)),
+                atol=1e-12,
+                err_msg=f"GT mismatch ({label})",
+            )
+
+    def test_kkt_solve_matches_dense(self, rng, relaxation):
+        params = IPMParams(static_reg=0.0, kkt_refine_steps=1)
+        for label, fg in graphs(rng):
+            problem, idx = build_conic_problem(fg, relaxation)
+            ca = build_chain_arrow(problem, idx)
+            ds = DenseBackend.prepare(problem)
+            cs = ChainArrowBackend.prepare(problem, ca)
+            s = interior(rng, problem.num_cones, problem.k)
+            z = interior(rng, problem.num_cones, problem.k)
+            Winv2 = cones.winv2_matrices(cones.nt_scaling(s, z))
+            fd = DenseBackend.factor(problem, ds, Winv2, params)
+            fc = ChainArrowBackend.factor(problem, cs, Winv2, params)
+            rhs = ds.mask * jnp.asarray(rng.normal(size=problem.n))
+            dx_d = DenseBackend.solve(problem, ds, fd, rhs, params)
+            dx_c = ChainArrowBackend.solve(problem, cs, fc, rhs, params)
+            scale = float(jnp.max(jnp.abs(dx_d))) + 1e-12
+            np.testing.assert_allclose(
+                np.asarray(dx_c) / scale,
+                np.asarray(dx_d) / scale,
+                atol=1e-9,
+                err_msg=f"KKT solve mismatch ({label})",
+            )
+
+    def test_full_ipm_matches_dense(self, rng, relaxation):
+        for label, fg in graphs(rng):
+            problem, idx = build_conic_problem(fg, relaxation)
+            ca = build_chain_arrow(problem, idx)
+            r_dense = solve_conic(problem, IPMParams(max_iter=40))
+            r_ca = solve_conic(
+                problem,
+                IPMParams(max_iter=40),
+                backend=ChainArrowBackend,
+                backend_aux=ca,
+            )
+            assert int(r_ca.status) in SOLVED_STATUSES, label
+            assert float(r_ca.pobj) == pytest.approx(
+                float(r_dense.pobj), rel=1e-6, abs=1e-8
+            ), label
+
+
+class TestGuards:
+    def test_rejects_loop_closures(self, rng):
+        fg = small_graph(rng, loop=True)
+        problem, idx = build_conic_problem(fg, SOCP_RELAXATION)
+        with pytest.raises(NotImplementedError):
+            build_chain_arrow(problem, idx, num_loop_closures=1)
+
+    def test_api_auto_backend(self, rng):
+        from score_tpu.api import ScoreSolverParams, solve_score
+
+        fg = small_graph(rng, loop=False)
+        res = solve_score(fg, SOCP_RELAXATION, ScoreSolverParams())
+        assert res.solved
+        fg2 = small_graph(rng, loop=True)
+        res2 = solve_score(fg2, SOCP_RELAXATION, ScoreSolverParams())
+        assert res2.solved  # falls back to dense with the loop closure
