@@ -47,6 +47,7 @@ from score_tpu.assembly.conic import (
     VariableIndex,
 )
 from score_tpu.solver.linops import G_apply
+from score_tpu.solver.smallblocks import chol_small, tri_lower_solve, tri_upper_solve
 
 __all__ = ["ChainArrowStructure", "build_chain_arrow", "ChainArrowBackend"]
 
@@ -609,7 +610,18 @@ class ChainArrowBackend:
             return kdd, wv, Hhat
         eye = jnp.eye(d, dtype=Winv2.dtype)
         Kdd = 2.0 * (prec * dist**2)[:, None, None] * eye + Winv2[:, 1:, 1:]
-        Kdd_inv = jnp.linalg.inv(Kdd)
+        # closed-form SPD 2x2 inverse (TPU has no f64 LU kernel)
+        a = Kdd[:, 0, 0]
+        b = Kdd[:, 0, 1]
+        c2 = Kdd[:, 1, 1]
+        det = a * c2 - b * b
+        Kdd_inv = (
+            jnp.stack(
+                [jnp.stack([c2, -b], axis=-1), jnp.stack([-b, a], axis=-1)],
+                axis=-2,
+            )
+            / det[:, None, None]
+        )
         c = 2.0 * prec * dist
         Hhat = 2.0 * prec[:, None, None] * eye - (c**2)[:, None, None] * Kdd_inv
         return Kdd_inv, jnp.zeros((st.NR, d), Winv2.dtype), Hhat
@@ -682,9 +694,9 @@ class ChainArrowBackend:
                 Xp, Yp = carry
                 Dt, Ut, Bt = inp
                 Dhat = Dt - Xp.T @ Xp
-                Lt = jnp.linalg.cholesky(Dhat)
-                Yt = _tri(Lt, Bt - Xp.T @ Yp)
-                Xt = _tri(Lt, Ut)
+                Lt = chol_small(Dhat)
+                Yt = tri_lower_solve(Lt, Bt - Xp.T @ Yp)
+                Xt = tri_lower_solve(Lt, Ut)
                 return (Xt, Yt), (Lt, Xt, Yt)
 
             init = (
@@ -751,7 +763,7 @@ class ChainArrowBackend:
 
             def body(cprev, inp):
                 Lt, Xpm1, rt = inp
-                ct = _tri(Lt, rt - Xpm1.T @ cprev)
+                ct = tri_lower_solve(Lt, (rt - Xpm1.T @ cprev)[:, None])[:, 0]
                 return ct, ct
 
             _, cs = jax.lax.scan(
@@ -771,7 +783,9 @@ class ChainArrowBackend:
 
             def body(dnext, inp):
                 Lt, Xt, Yt, ct = inp
-                dt = _tri_T(Lt, ct - Xt @ dnext - Yt @ u)
+                dt = tri_upper_solve(
+                    Lt, (ct - Xt @ dnext - Yt @ u)[:, None]
+                )[:, 0]
                 return dt, dt
 
             _, ds_rev = jax.lax.scan(
