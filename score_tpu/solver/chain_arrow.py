@@ -47,6 +47,7 @@ from score_tpu.assembly.conic import (
     VariableIndex,
 )
 from score_tpu.solver.linops import G_apply
+from score_tpu.solver.pcr import PCRFactors, pcr_factor, pcr_pad_length, pcr_solve
 from score_tpu.solver.smallblocks import chol_small, tri_lower_solve, tri_upper_solve
 
 __all__ = ["ChainArrowStructure", "build_chain_arrow", "ChainArrowBackend"]
@@ -340,10 +341,10 @@ class CAState(NamedTuple):
 
 
 class CAFactors(NamedTuple):
-    L: jnp.ndarray  # (C, T, D, D)
-    X: jnp.ndarray  # (C, T-1, D, D)
-    Y: jnp.ndarray  # (C, T, D, A)
-    LS: jnp.ndarray  # (A, A)
+    pcr: PCRFactors  # vmapped-over-chains cyclic-reduction factors
+    B: jnp.ndarray  # (C, Tp, D, A) masked chain-arrow coupling
+    Z: jnp.ndarray  # (C, Tp, D, A) = T^{-1} B chain solves of the panels
+    LS: jnp.ndarray  # (A, A) arrow Schur Cholesky
     kdd: jnp.ndarray  # SOCP (NR,) pivots; QCQP (NR,d,d) pivot inverses
     wv: jnp.ndarray  # SOCP (NR,d) coupling vectors; QCQP zeros
     Hhat: jnp.ndarray  # (NR, d, d)
@@ -684,30 +685,20 @@ class ChainArrowBackend:
         Sg = Sg * act[:, None] * act[None, :]
         Sg = Sg + jnp.diag(delta * act + (1.0 - act))
 
-        # block-tridiagonal factorization per chain (vmapped)
-        def chain_factor(Dc, Uc, Bc):
-            U_pad = jnp.concatenate(
-                [Uc, jnp.zeros((1, D, D), dtype=dtype)], axis=0
-            )
+        # block-tridiagonal factorization per chain via parallel cyclic
+        # reduction (log-depth, level-batched — see solver/pcr.py)
+        Tp = pcr_pad_length(T)
+        Dp = jnp.broadcast_to(
+            jnp.eye(D, dtype=dtype), (C, Tp, D, D)
+        ).at[:, :T].set(Dg)
+        Up = jnp.zeros((C, Tp, D, D), dtype=dtype)
+        if T > 1:
+            Up = Up.at[:, : T - 1].set(Ug)
+        Bp = jnp.zeros((C, Tp, D, A), dtype=dtype).at[:, :T].set(Bg)
 
-            def body(carry, inp):
-                Xp, Yp = carry
-                Dt, Ut, Bt = inp
-                Dhat = Dt - Xp.T @ Xp
-                Lt = chol_small(Dhat)
-                Yt = tri_lower_solve(Lt, Bt - Xp.T @ Yp)
-                Xt = tri_lower_solve(Lt, Ut)
-                return (Xt, Yt), (Lt, Xt, Yt)
-
-            init = (
-                jnp.zeros((D, D), dtype=dtype),
-                jnp.zeros((D, A), dtype=dtype),
-            )
-            _, (Ls, Xs, Ys) = jax.lax.scan(body, init, (Dc, U_pad, Bc))
-            return Ls, Xs, Ys
-
-        Ls, Xs, Ys = jax.vmap(chain_factor)(Dg, Ug, Bg)
-        Sg = Sg - jnp.einsum("ctia,ctib->ab", Ys, Ys)
+        pcrf = jax.vmap(pcr_factor)(Dp, Up)
+        Z = jax.vmap(pcr_solve)(pcrf, Bp)
+        Sg = Sg - jnp.einsum("ctia,ctib->ab", Bp, Z)
         LS1 = jnp.linalg.cholesky(Sg)
         LS = jax.lax.cond(
             jnp.all(jnp.isfinite(LS1)),
@@ -718,7 +709,7 @@ class ChainArrowBackend:
             ),
         )
         return CAFactors(
-            L=Ls, X=Xs[:, :-1], Y=Ys, LS=LS, kdd=kdd, wv=wv, Hhat=Hhat
+            pcr=pcrf, B=Bp, Z=Z, LS=LS, kdd=kdd, wv=wv, Hhat=Hhat
         )
 
     # ---------------- solve ---------------- #
@@ -755,47 +746,15 @@ class ChainArrowBackend:
         )
         ra = ra_blocks.reshape(-1)[:A] * st.arrow_active
 
-        # forward sweep
-        def chain_forward(Ls, Xs, rcc):
-            Xp_pad = jnp.concatenate(
-                [jnp.zeros((1, D, D), dtype=dtype), Xs], axis=0
-            )
-
-            def body(cprev, inp):
-                Lt, Xpm1, rt = inp
-                ct = tri_lower_solve(Lt, (rt - Xpm1.T @ cprev)[:, None])[:, 0]
-                return ct, ct
-
-            _, cs = jax.lax.scan(
-                body, jnp.zeros((D,), dtype=dtype), (Ls, Xp_pad, rcc)
-            )
-            return cs
-
-        cs = jax.vmap(chain_forward)(factors.L, factors.X, rc)
-        ra_schur = ra - jnp.einsum("ctia,cti->a", factors.Y, cs)
+        # chain solve (PCR), arrow Schur solve, recombination:
+        #   [T B; B' S][x; u] = [r; ra]  =>
+        #   w = T^{-1} r,  u = Stilde^{-1}(ra - B' w),  x = w - T^{-1}B u
+        Tp = factors.B.shape[1]
+        rp = jnp.zeros((C, Tp, D, 1), dtype=dtype).at[:, :T].set(rc[..., None])
+        w = jax.vmap(pcr_solve)(factors.pcr, rp)[..., 0]  # (C, Tp, D)
+        ra_schur = ra - jnp.einsum("ctia,cti->a", factors.B, w)
         u = _tri_T(factors.LS, _tri(factors.LS, ra_schur))
-
-        # backward sweep
-        def chain_backward(Ls, Xs, Ys, css):
-            X_pad = jnp.concatenate(
-                [Xs, jnp.zeros((1, D, D), dtype=dtype)], axis=0
-            )
-
-            def body(dnext, inp):
-                Lt, Xt, Yt, ct = inp
-                dt = tri_upper_solve(
-                    Lt, (ct - Xt @ dnext - Yt @ u)[:, None]
-                )[:, 0]
-                return dt, dt
-
-            _, ds_rev = jax.lax.scan(
-                body,
-                jnp.zeros((D,), dtype=dtype),
-                (Ls[::-1], X_pad[::-1], Ys[::-1], css[::-1]),
-            )
-            return ds_rev[::-1]
-
-        dxc = jax.vmap(chain_backward)(factors.L, factors.X, factors.Y, cs)
+        dxc = (w - jnp.einsum("ctia,a->cti", factors.Z, u))[:, :T]
 
         # recompose full pose slots: chain part + arrow-resident translations
         u_blocks = jnp.concatenate(
