@@ -46,6 +46,7 @@ __all__ = [
     "solve_conic",
     "solve_conic_fixed",
     "solve_conic_with_iterates",
+    "solve_conic_traced",
 ]
 
 # Status codes.
@@ -358,17 +359,20 @@ def solve_conic(
     params: IPMParams = IPMParams(),
     backend=DenseBackend,
     backend_aux=None,
+    warm_start=None,
 ) -> IPMResult:
     """Solve a ConicProblem. Fully jit-compiled; early-exits on
     convergence via `lax.while_loop` (use :func:`solve_conic_fixed` under
     vmap). ``backend_aux`` carries backend-specific static structure (e.g.
-    the chain-arrow layout)."""
+    the chain-arrow layout). ``warm_start`` may be an (x, s, z) triple —
+    e.g. a checkpointed `IPMResult`'s iterate — used instead of the
+    cold-start heuristic (s/z are shifted to the cone interior)."""
     state_ops = backend.prepare(problem, backend_aux)
 
     if problem.num_cones == 0:
         return _degenerate_no_cones(backend, problem, state_ops, params)
 
-    st0 = _make_initial_state(backend, problem, state_ops, params)
+    st0 = _make_initial_state(backend, problem, state_ops, params, warm_start)
 
     st = jax.lax.while_loop(
         lambda s: (s.status == RUNNING) & (s.it < params.max_iter),
@@ -378,8 +382,14 @@ def solve_conic(
     return _finalize(backend, problem, state_ops, params, st)
 
 
-def _make_initial_state(backend, problem, state_ops, params) -> _State:
-    x0, s0, z0 = _initial_point(backend, problem, state_ops, params)
+def _make_initial_state(backend, problem, state_ops, params,
+                        warm_start=None) -> _State:
+    if warm_start is not None:
+        x0, s0, z0 = warm_start
+        s0 = cones.shift_to_interior(s0)
+        z0 = cones.shift_to_interior(z0)
+    else:
+        x0, s0, z0 = _initial_point(backend, problem, state_ops, params)
     inf = jnp.asarray(jnp.inf, dtype=x0.dtype)
     return _State(
         x=x0, s=s0, z=z0, it=jnp.asarray(0), status=jnp.asarray(RUNNING),
@@ -389,7 +399,7 @@ def _make_initial_state(backend, problem, state_ops, params) -> _State:
 
 
 def _scan_solve(backend, problem, params, num_iters, record_iterates,
-                backend_aux=None):
+                backend_aux=None, record_metrics=False):
     state_ops = backend.prepare(problem, backend_aux)
     st0 = _make_initial_state(backend, problem, state_ops, params)
 
@@ -400,7 +410,18 @@ def _scan_solve(backend, problem, params, num_iters, record_iterates,
             lambda s: s,
             st,
         )
-        out = new_st.x if record_iterates else None
+        out = None
+        if record_iterates:
+            out = new_st.x
+        elif record_metrics:
+            ok, bad, pres, dres, gap, pq = _convergence(
+                backend, problem, state_ops, params,
+                new_st.x, new_st.s, new_st.z,
+            )
+            out = jnp.stack(
+                [pres, dres, gap, pq + state_ops.const,
+                 new_st.status.astype(pres.dtype)]
+            )
         return new_st, out
 
     st, xs = jax.lax.scan(scan_body, st0, None, length=num_iters)
@@ -427,6 +448,24 @@ def solve_conic_fixed(
     result, _ = _scan_solve(backend, problem, params, num_iters, False,
                             backend_aux)
     return result
+
+
+@partial(jax.jit, static_argnames=("params", "num_iters", "backend"))
+def solve_conic_traced(
+    problem: ConicProblem,
+    params: IPMParams = IPMParams(),
+    num_iters: int = 50,
+    backend=DenseBackend,
+    backend_aux=None,
+) -> Tuple[IPMResult, jnp.ndarray]:
+    """Solve while recording per-iteration telemetry. Returns
+    (result, metrics) with metrics of shape (num_iters, 5):
+    [pres, dres, gap, pobj, status] after each iteration — the
+    observability hook for convergence monitoring (SURVEY.md §5)."""
+    return _scan_solve(
+        backend, problem, params, num_iters, False, backend_aux,
+        record_metrics=True,
+    )
 
 
 @partial(jax.jit, static_argnames=("params", "num_iters", "backend"))
