@@ -149,7 +149,10 @@ def _convergence(backend, problem, state, params: IPMParams, x, s, z):
     dres = jnp.linalg.norm(rx) / dscale
     gap = cones.inner(s, z)
     pq = 0.5 * x @ Px + state.q @ x
-    relgap = gap / jnp.maximum(1.0, jnp.abs(pq))
+    # gap relative to the TRUE objective value (pq + const) — using |pq|
+    # alone would inflate the denominator by the constant term sum(w b^2)
+    # and declare convergence orders of magnitude early.
+    relgap = gap / jnp.maximum(1.0, jnp.abs(pq + state.const))
     ok = (
         (pres < params.tol_feas)
         & (dres < params.tol_feas)
@@ -159,8 +162,8 @@ def _convergence(backend, problem, state, params: IPMParams, x, s, z):
     return ok, bad, pres, dres, gap, pq
 
 
-def _metric(pres, dres, gap, pq):
-    relgap = jnp.abs(gap) / jnp.maximum(1.0, jnp.abs(pq))
+def _metric(pres, dres, gap, pobj):
+    relgap = jnp.abs(gap) / jnp.maximum(1.0, jnp.abs(pobj))
     m = jnp.maximum(jnp.maximum(pres, dres), relgap)
     return jnp.where(jnp.isfinite(m), m, jnp.inf)
 
@@ -171,7 +174,7 @@ def _advance(backend, problem, state_ops, params, st: _State) -> _State:
     ok, bad, pres, dres, gap, pq = _convergence(
         backend, problem, state_ops, params, st.x, st.s, st.z
     )
-    m = _metric(pres, dres, gap, pq)
+    m = _metric(pres, dres, gap, pq + state_ops.const)
     improved = m < st.best_metric
     best_x = jnp.where(improved, st.x, st.best_x)
     best_s = jnp.where(improved, st.s, st.best_s)
@@ -319,14 +322,16 @@ def _finalize(backend, problem, state_ops, params, state: _State) -> IPMResult:
     okf, badf, presf, dresf, gapf, pqf = _convergence(
         backend, problem, state_ops, params, state.x, state.s, state.z
     )
-    final_better = _metric(presf, dresf, gapf, pqf) < state.best_metric
+    final_better = (
+        _metric(presf, dresf, gapf, pqf + state_ops.const) < state.best_metric
+    )
     x = jnp.where(final_better, state.x, state.best_x)
     s = jnp.where(final_better, state.s, state.best_s)
     z = jnp.where(final_better, state.z, state.best_z)
     ok, bad, pres, dres, gap, pq = _convergence(
         backend, problem, state_ops, params, x, s, z
     )
-    relgap = gap / jnp.maximum(1.0, jnp.abs(pq))
+    relgap = gap / jnp.maximum(1.0, jnp.abs(pq + state_ops.const))
     ok_reduced = (
         (pres < params.tol_feas_reduced)
         & (dres < params.tol_feas_reduced)
