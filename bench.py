@@ -26,21 +26,28 @@ GOATS = "/root/reference/examples/goats_14_data/goats_14_6_2002_15_20.pkl"
 def main() -> None:
     from score_tpu.fg import parse_pickle_file
     from score_tpu.assembly.conic import build_conic_problem
-    from score_tpu.solver.ipm import OPTIMAL, solve_conic, IPMParams
+    from score_tpu.solver.chain_arrow import ChainArrowBackend, build_chain_arrow
+    from score_tpu.solver.ipm import SOLVED_STATUSES, solve_conic, IPMParams
 
     fg = parse_pickle_file(GOATS)
-    problem, _ = build_conic_problem(fg, "SOCP")
+    problem, idx = build_conic_problem(fg, "SOCP")
+    ca = build_chain_arrow(problem, idx)
     params = IPMParams(max_iter=60)
 
-    # Warmup (compile; persistent cache makes this fast after round 1).
-    res = solve_conic(problem, params)
+    def run():
+        return solve_conic(
+            problem, params, backend=ChainArrowBackend, backend_aux=ca
+        )
+
+    # Warmup (compile; persistent cache makes this fast after the first run).
+    res = run()
     status = int(res.status)
-    assert status == OPTIMAL, f"solver failed: status={status}"
+    assert status in SOLVED_STATUSES, f"solver failed: status={status}"
 
     times = []
     for _ in range(3):
         t0 = time.perf_counter()
-        res = solve_conic(problem, params)
+        res = run()
         float(res.pobj)  # block
         times.append(time.perf_counter() - t0)
     best = min(times)

@@ -25,6 +25,7 @@ from score_tpu.assembly.conic import (
     VariableIndex,
     build_conic_problem,
 )
+from score_tpu.assembly.normalize import normalize_factor_graph, unscale_results
 from score_tpu.fg.factor_graph import FactorGraphData
 from score_tpu.fg.solver_utils import SolverResults, VariableValues, save_results_to_file
 from score_tpu.ops.rounding import extract_pose_matrices, homogenize_batched
@@ -158,7 +159,10 @@ def solve_score(
     _check_factor_graph(data)
 
     t0 = time.perf_counter()
-    problem, idx = build_conic_problem(data, relaxation_type)
+    scaled_data, scale = (
+        normalize_factor_graph(data) if params.normalize else (data, 1.0)
+    )
+    problem, idx = build_conic_problem(scaled_data, relaxation_type)
     if params.precision == "f32":
         problem = _cast_problem(problem, jnp.float32)
     backend, backend_aux = _select_backend(data, problem, idx, params)
@@ -183,6 +187,7 @@ def solve_score(
         )
 
     results = extract_solver_results(result, idx, data, total_time, relaxation_type)
+    results = unscale_results(results, scale)
     if params.save_results and params.results_filepath:
         save_results_to_file(results, params.results_filepath)
     return results

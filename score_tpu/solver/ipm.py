@@ -79,8 +79,10 @@ class IPMParams:
     # Reduced ("solved to lower accuracy") tolerances applied when the
     # iteration stops on max_iter, stagnation, or a numerical breakdown.
     # Still far tighter than the reference's 1e-1 (gurobi_utils.py:212).
+    # The f64 endgame floor on large ill-conditioned instances sits around
+    # relgap ~1e-6..1e-5 with residuals far below it.
     tol_feas_reduced: float = 1e-6
-    tol_gap_reduced: float = 1e-6
+    tol_gap_reduced: float = 1e-5
     # Stop after this many consecutive iterations without improving the
     # best-iterate metric (endgame thrashing at the precision floor).
     stall_limit: int = 5

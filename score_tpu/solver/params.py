@@ -48,6 +48,10 @@ class ScoreSolverParams:
     precision: str = "f64"
     kkt_refine_steps: int = 0
 
+    # Solve in normalized translation units (conditioning; exact
+    # reparameterization, see assembly/normalize.py).
+    normalize: bool = True
+
     # KKT backend: "auto" picks the structure-exploiting chain+arrow
     # factorization when the problem supports it (2D, no loop closures)
     # and falls back to dense Cholesky otherwise.

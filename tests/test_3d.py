@@ -1,0 +1,105 @@
+"""3D (SE(3)) end-to-end: assembly and solve of a synthetic 3D range-SLAM
+graph through the dense backend (the reference supports dim 3 through the
+same code paths, gurobi_utils.py:37-50 dimension validator)."""
+
+import numpy as np
+import pytest
+
+from score_tpu.assembly.conic import (
+    QCQP_RELAXATION,
+    SOCP_RELAXATION,
+    build_conic_problem,
+    evaluate_objective,
+)
+from score_tpu.fg import (
+    FactorGraphData,
+    FGRangeMeasurement,
+    LandmarkVariable3D,
+    PoseMeasurement3D,
+    PoseVariable3D,
+)
+from score_tpu.solver.ipm import IPMParams, SOLVED_STATUSES, solve_conic
+from score_tpu.utils.matrix import get_random_rotation_matrix
+
+
+@pytest.fixture
+def fg3d():
+    rng = np.random.default_rng(5)
+    fg = FactorGraphData(dimension=3)
+    T = 6
+    poses = []
+    R = np.eye(3)
+    t = np.zeros(3)
+    for i in range(T):
+        fg.add_pose_variable(PoseVariable3D(f"A{i}", tuple(t), R.copy()))
+        poses.append((R.copy(), t.copy()))
+        dR = get_random_rotation_matrix(3, np.random.default_rng(100 + i))
+        # small rotation: blend toward identity via projection
+        from score_tpu.utils.matrix import round_to_special_orthogonal
+
+        dR = round_to_special_orthogonal(0.2 * dR + 0.8 * np.eye(3))
+        dt = np.array([1.0, 0.1, -0.05])
+        t = t + R @ dt
+        R = R @ dR
+    fg.add_landmark_variable(LandmarkVariable3D("L0", (2.0, 1.0, 0.5)))
+    fg.add_landmark_variable(LandmarkVariable3D("L1", (4.0, -1.0, 1.0)))
+    for i in range(T - 1):
+        Ri, ti = poses[i]
+        Rj, tj = poses[i + 1]
+        rel_R = Ri.T @ Rj
+        rel_t = Ri.T @ (tj - ti)
+        fg.add_odom_measurement(
+            PoseMeasurement3D(
+                f"A{i}",
+                f"A{i+1}",
+                rel_t + rng.normal(0, 0.01, 3),
+                rel_R,
+                translation_precision=100.0,
+                rotation_precision=400.0,
+            )
+        )
+    for i in range(T):
+        for lname, lpos in (("L0", [2, 1, 0.5]), ("L1", [4, -1, 1.0])):
+            dist = np.linalg.norm(poses[i][1] - np.asarray(lpos))
+            fg.add_range_measurement(
+                FGRangeMeasurement(
+                    (f"A{i}", lname),
+                    float(abs(dist + rng.normal(0, 0.05))),
+                    0.5,
+                )
+            )
+    return fg
+
+
+@pytest.mark.parametrize("relaxation", [SOCP_RELAXATION, QCQP_RELAXATION])
+def test_3d_solve(fg3d, relaxation):
+    problem, idx = build_conic_problem(fg3d, relaxation)
+    assert problem.k == 4  # SOC(4) cones in 3D
+    assert problem.dim == 3
+    res = solve_conic(problem, IPMParams(max_iter=50))
+    assert int(res.status) in SOLVED_STATUSES
+    x = np.asarray(res.x)
+    assert evaluate_objective(problem, x) == pytest.approx(
+        float(res.pobj), rel=1e-6, abs=1e-8
+    )
+    # pinned first pose is [I | 0] in the column-major layout
+    np.testing.assert_allclose(
+        x[np.asarray(problem.pin_idx)], np.asarray(problem.pin_val), atol=1e-12
+    )
+
+
+def test_3d_solution_recovery(fg3d):
+    from score_tpu.api import ScoreSolverParams, solve_score
+
+    res = solve_score(fg3d, SOCP_RELAXATION, ScoreSolverParams(backend="dense"))
+    assert res.solved
+    T0 = res.poses["A0"]
+    np.testing.assert_allclose(T0, np.eye(4), atol=1e-9)
+    for name, T in res.poses.items():
+        R = np.asarray(T)[:3, :3]
+        assert np.linalg.det(R) == pytest.approx(1.0, abs=1e-6)
+        np.testing.assert_allclose(R @ R.T, np.eye(3), atol=1e-6)
+    # trajectory should roughly track ground truth scale
+    t5 = np.asarray(res.poses["A5"])[:3, 3]
+    gt5 = np.asarray(fg3d.pose_variables_dict["A5"].true_position)
+    assert np.linalg.norm(t5 - gt5) < 1.5
