@@ -17,14 +17,23 @@ For an SPD system with diagonal blocks D_t and super-diagonal blocks U_t
 
 and a solve does a matching down pass (fold odd rhs into even) and up pass
 (back-substitute odd blocks). All block ops use the unrolled small-block
-kernels (no XLA custom calls). Lengths are padded to a power of two with
-identity diagonal blocks, which cyclic reduction preserves exactly.
+kernels (no XLA custom calls).
+
+Compilation-size trick: levels run as a `lax.scan` over a FIXED-shape
+state. The reduced system after each level (length T/2) is stored
+compacted in the state's first half, the second half refilled with
+decoupled identity blocks (zero couplings). Cyclic reduction treats those
+pads as an independent identity system riding along — so every level is
+the same static-shape program, and the whole factorization is one scanned
+body instead of log2(T) unrolled level graphs. Lengths are padded to a
+power of two with identity diagonal blocks.
 """
 
 from __future__ import annotations
 
-from typing import List, NamedTuple, Tuple
+from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 from score_tpu.solver.smallblocks import chol_small, tri_lower_solve, tri_upper_solve
@@ -32,17 +41,15 @@ from score_tpu.solver.smallblocks import chol_small, tri_lower_solve, tri_upper_
 __all__ = ["PCRFactors", "pcr_pad_length", "pcr_factor", "pcr_solve"]
 
 
-class _Level(NamedTuple):
-    L_odd: jnp.ndarray  # (Tl/2, D, D) Cholesky of odd diagonal blocks
-    W1: jnp.ndarray  # (Tl/2, D, D) Dodd^{-1} Uodd
-    W2: jnp.ndarray  # (Tl/2, D, D) Dodd^{-1} Ueven^T
-    U_even: jnp.ndarray  # (Tl/2, D, D)
-    U_odd: jnp.ndarray  # (Tl/2, D, D)
-
-
 class PCRFactors(NamedTuple):
-    levels: Tuple[_Level, ...]
-    L_root: jnp.ndarray  # (D, D)
+    # per-level stacked data, each (L, T/2, Db, Db); level l's valid prefix
+    # is T/2^(l+1) blocks (the rest belong to the identity padding system)
+    L_odd: jnp.ndarray
+    W1: jnp.ndarray
+    W2: jnp.ndarray
+    U_even: jnp.ndarray
+    U_odd: jnp.ndarray
+    L_root: jnp.ndarray  # (Db, Db)
 
 
 def pcr_pad_length(T: int) -> int:
@@ -52,8 +59,23 @@ def pcr_pad_length(T: int) -> int:
     return p
 
 
+def _num_levels(T: int) -> int:
+    L = 0
+    while (1 << L) < T:
+        L += 1
+    return L
+
+
 def _dinv(L, M):
     return tri_upper_solve(L, tri_lower_solve(L, M))
+
+
+def _eye_pad(template: jnp.ndarray) -> jnp.ndarray:
+    """Identity blocks shaped like `template` ((T/2, Db, Db))."""
+    Db = template.shape[-1]
+    return jnp.broadcast_to(
+        jnp.eye(Db, dtype=template.dtype), template.shape
+    )
 
 
 def pcr_factor(D: jnp.ndarray, U: jnp.ndarray) -> PCRFactors:
@@ -63,10 +85,22 @@ def pcr_factor(D: jnp.ndarray, U: jnp.ndarray) -> PCRFactors:
     U: (T, Db, Db) super-diagonal blocks, U[t] couples (t, t+1); U[T-1]
        must be zero.
     """
-    levels: List[_Level] = []
-    while D.shape[0] > 1:
-        D_even, D_odd = D[0::2], D[1::2]
-        U_even, U_odd = U[0::2], U[1::2]
+    T, Db = D.shape[0], D.shape[-1]
+    L = _num_levels(T)
+    if L == 0:
+        return PCRFactors(
+            L_odd=jnp.zeros((0, 0, Db, Db), D.dtype),
+            W1=jnp.zeros((0, 0, Db, Db), D.dtype),
+            W2=jnp.zeros((0, 0, Db, Db), D.dtype),
+            U_even=jnp.zeros((0, 0, Db, Db), D.dtype),
+            U_odd=jnp.zeros((0, 0, Db, Db), D.dtype),
+            L_root=chol_small(D[0]),
+        )
+
+    def level(carry, _):
+        Dc, Uc = carry  # (T, Db, Db) with valid prefix, identity pads after
+        D_even, D_odd = Dc[0::2], Dc[1::2]
+        U_even, U_odd = Uc[0::2], Uc[1::2]
         L_odd = chol_small(D_odd)
         W2 = _dinv(L_odd, jnp.swapaxes(U_even, -1, -2))
         W1 = _dinv(L_odd, U_odd)
@@ -75,34 +109,61 @@ def pcr_factor(D: jnp.ndarray, U: jnp.ndarray) -> PCRFactors:
         term_left = jnp.concatenate(
             [jnp.zeros_like(Lterm[:1]), Lterm[:-1]], axis=0
         )
-        D = D_even - term_right - term_left
-        U = -jnp.swapaxes(W2, -1, -2) @ U_odd
-        levels.append(_Level(L_odd, W1, W2, U_even, U_odd))
-    L_root = chol_small(D[0])
-    return PCRFactors(levels=tuple(levels), L_root=L_root)
+        D_next = D_even - term_right - term_left
+        U_next = -jnp.swapaxes(W2, -1, -2) @ U_odd
+        # recompact: reduced system in the first half, identity pad after
+        Dc2 = jnp.concatenate([D_next, _eye_pad(D_next)], axis=0)
+        Uc2 = jnp.concatenate([U_next, jnp.zeros_like(U_next)], axis=0)
+        return (Dc2, Uc2), (L_odd, W1, W2, U_even, U_odd)
+
+    (Df, _), levs = jax.lax.scan(level, (D, U), None, length=L)
+    return PCRFactors(
+        L_odd=levs[0], W1=levs[1], W2=levs[2], U_even=levs[3],
+        U_odd=levs[4], L_root=chol_small(Df[0]),
+    )
 
 
 def pcr_solve(factors: PCRFactors, rhs: jnp.ndarray) -> jnp.ndarray:
     """Solve the factored system for rhs of shape (T, Db, K)."""
-    # down pass: fold odd right-hand sides into the even system
-    r = rhs
-    ros = []
-    for lev in factors.levels:
+    T = rhs.shape[0]
+    L = factors.L_odd.shape[0]
+    if L == 0:
+        return _dinv(factors.L_root, rhs[0])[None]
+
+    # down pass: fold odd right-hand sides into the even system (compacted)
+    def down(r, lev):
+        L_odd, W1, W2, U_even, U_odd = lev
         r_even, r_odd = r[0::2], r[1::2]
-        ro = _dinv(lev.L_odd, r_odd)
-        fold = jnp.swapaxes(lev.U_odd, -1, -2) @ ro
+        ro = _dinv(L_odd, r_odd)
+        fold = jnp.swapaxes(U_odd, -1, -2) @ ro
         fold = jnp.concatenate([jnp.zeros_like(fold[:1]), fold[:-1]], axis=0)
-        r = r_even - fold - lev.U_even @ ro
-        ros.append(ro)
-    # root
-    x = _dinv(factors.L_root, r[0])[None]
-    # up pass: interleave back-substituted odd blocks
-    for lev, ro in zip(reversed(factors.levels), reversed(ros)):
-        x_shift = jnp.concatenate([x[1:], jnp.zeros_like(x[:1])], axis=0)
-        x_odd = ro - lev.W2 @ x - lev.W1 @ x_shift
-        Tl = x.shape[0] * 2
-        out = jnp.zeros((Tl,) + x.shape[1:], dtype=x.dtype)
-        out = out.at[0::2].set(x)
+        r_next = r_even - fold - U_even @ ro
+        r2 = jnp.concatenate([r_next, jnp.zeros_like(r_next)], axis=0)
+        return r2, ro
+
+    levs = (factors.L_odd, factors.W1, factors.W2, factors.U_even,
+            factors.U_odd)
+    r_final, ros = jax.lax.scan(down, rhs, levs)
+
+    # root solve; the level-L "solution state" is a (T,)-shaped array whose
+    # position 0 holds the root block (pads are irrelevant)
+    x0 = _dinv(factors.L_root, r_final[0])
+    x_init = jnp.zeros((T,) + x0.shape, dtype=x0.dtype).at[0].set(x0)
+
+    # up pass (reverse over levels): the reduced solution consumed by level
+    # l is the first half of level (l+1)'s state; interleave it with the
+    # back-substituted odd blocks to reconstruct level l's state.
+    def up(x_state, lev_ro):
+        (L_odd, W1, W2, U_even, U_odd), ro = lev_ro
+        x_even = x_state[: T // 2]
+        x_shift = jnp.concatenate(
+            [x_even[1:], jnp.zeros_like(x_even[:1])], axis=0
+        )
+        x_odd = ro - W2 @ x_even - W1 @ x_shift
+        out = jnp.zeros_like(x_state)
+        out = out.at[0::2].set(x_even)
         out = out.at[1::2].set(x_odd)
-        x = out
+        return out, None
+
+    x, _ = jax.lax.scan(up, x_init, (levs, ros), reverse=True)
     return x
