@@ -25,10 +25,13 @@ from score_tpu.assembly.conic import (
     VariableIndex,
     build_conic_problem,
 )
+from score_tpu.assembly.initialization import build_initial_x
 from score_tpu.assembly.normalize import normalize_factor_graph, unscale_results
 from score_tpu.fg.factor_graph import FactorGraphData
 from score_tpu.fg.solver_utils import SolverResults, VariableValues, save_results_to_file
 from score_tpu.ops.rounding import extract_pose_matrices, homogenize_batched
+from score_tpu.solver import cones as _cones
+from score_tpu.solver.linops import G_apply
 from score_tpu.solver.ipm import (
     IPMResult,
     OPTIMAL,
@@ -146,6 +149,24 @@ def extract_solver_results(
     )
 
 
+def _build_warm_start(scaled_data, problem, idx, params):
+    """Realize init_technique / custom_init_file (the config surface the
+    reference example intended, examples/solve_goats_example_score.py:28-34):
+    construct x0, take s0 = h - G x0 and z0 = e (shifted to the interior by
+    the solver)."""
+    technique = params.init_technique
+    if technique in ("default", None) and not params.custom_init_file:
+        return None
+    if params.custom_init_file:
+        x0 = np.load(params.custom_init_file)["x"]
+    else:
+        x0 = build_initial_x(scaled_data, problem, idx, technique)
+    x0 = jnp.asarray(x0)
+    s0 = problem.cone_h - G_apply(problem, x0)
+    z0 = _cones.soc_identity(problem.num_cones, problem.k, x0.dtype)
+    return (x0, s0, z0)
+
+
 def solve_score(
     data: FactorGraphData,
     relaxation_type: str = QCQP_RELAXATION,
@@ -166,8 +187,10 @@ def solve_score(
     if params.precision == "f32":
         problem = _cast_problem(problem, jnp.float32)
     backend, backend_aux = _select_backend(data, problem, idx, params)
+    warm_start = _build_warm_start(scaled_data, problem, idx, params)
     result = solve_conic(
-        problem, params.ipm_params(), backend=backend, backend_aux=backend_aux
+        problem, params.ipm_params(), backend=backend,
+        backend_aux=backend_aux, warm_start=warm_start,
     )
     result.x.block_until_ready()
     total_time = time.perf_counter() - t0
