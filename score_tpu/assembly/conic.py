@@ -216,6 +216,37 @@ def _flatten_pose_measurements(fg: FactorGraphData):
     return out
 
 
+def _native_pose_rows(fg, idx, pose_meas, nnz, n, dtype):
+    """Emit pose-measurement cost rows through the native C++ assembly
+    kernel when available (score_tpu/native/fastbuild.cpp); returns None to
+    fall back to the Python emission loop (3D, missing extension, or
+    non-f64 dtype)."""
+    if fg.dimension != 2 or dtype != np.float64 or not pose_meas:
+        return None
+    try:
+        from score_tpu.native import _fastbuild
+    except ImportError:
+        return None
+    NE = len(pose_meas)
+    pi = np.empty(NE, dtype=np.int64)
+    pj = np.empty(NE, dtype=np.int64)
+    Rm = np.empty((NE, 2, 2), dtype=np.float64)
+    tm = np.empty((NE, 2), dtype=np.float64)
+    kij = np.empty(NE, dtype=np.float64)
+    tau = np.empty(NE, dtype=np.float64)
+    for e, m in enumerate(pose_meas):
+        pi[e] = idx.pose_index(m.base_pose)
+        pj[e] = idx.pose_index(m.to_pose)
+        Rm[e] = m.rotation_matrix
+        tm[e] = m.translation_vector
+        kij[e] = m.translation_precision
+        tau[e] = m.rotation_precision
+    cols, coefs, b, w = _fastbuild.assemble_pose_rows_2d(
+        pi, pj, Rm, tm, kij, tau, int(nnz), int(n)
+    )
+    return cols, coefs, b, w
+
+
 def build_conic_problem(
     fg: FactorGraphData,
     relaxation: str = SOCP_RELAXATION,
@@ -264,28 +295,39 @@ def build_conic_problem(
         rows_w.append(np.asarray(w, dtype=dtype))
 
     # ---- relative-pose costs (odometry + loop closures) -------------- #
-    for meas in _flatten_pose_measurements(fg):
-        pi = idx.pose_index(meas.base_pose)
-        pj = idx.pose_index(meas.to_pose)
-        Rm = np.asarray(meas.rotation_matrix, dtype=dtype)
-        tm = np.asarray(meas.translation_vector, dtype=dtype)
-        tau = float(meas.rotation_precision)
-        kij = float(meas.translation_precision)
-        # rotation rows: (R_j - R_i Rm)[r, c]
-        for c in range(d):
+    pose_meas = _flatten_pose_measurements(fg)
+    native_rows = _native_pose_rows(fg, idx, pose_meas, nnz, n, dtype)
+    if native_rows is not None:
+        cols_nat, coefs_nat, b_nat, w_nat = native_rows
+        rows_cols.extend(cols_nat.astype(np.int64))
+        rows_coefs.extend(coefs_nat.astype(dtype))
+        rows_b.extend(b_nat.astype(dtype))
+        rows_w.extend(w_nat.astype(dtype))
+    else:
+        for meas in pose_meas:
+            pi = idx.pose_index(meas.base_pose)
+            pj = idx.pose_index(meas.to_pose)
+            Rm = np.asarray(meas.rotation_matrix, dtype=dtype)
+            tm = np.asarray(meas.translation_vector, dtype=dtype)
+            tau = float(meas.rotation_precision)
+            kij = float(meas.translation_precision)
+            # rotation rows: (R_j - R_i Rm)[r, c]
+            for c in range(d):
+                for r in range(d):
+                    cols = [idx.rot_col(pj, r, c)] + [
+                        idx.rot_col(pi, r, kk) for kk in range(d)
+                    ]
+                    coefs = [1.0] + [-Rm[kk, c] for kk in range(d)]
+                    add_row(cols, coefs, 0.0, tau)
+            # translation rows: (t_j - t_i - R_i tm)[r]
+            ti = idx.trans_cols(pi)
+            tj = idx.trans_cols(pj)
             for r in range(d):
-                cols = [idx.rot_col(pj, r, c)] + [
+                cols = [tj[r], ti[r]] + [
                     idx.rot_col(pi, r, kk) for kk in range(d)
                 ]
-                coefs = [1.0] + [-Rm[kk, c] for kk in range(d)]
-                add_row(cols, coefs, 0.0, tau)
-        # translation rows: (t_j - t_i - R_i tm)[r]
-        ti = idx.trans_cols(pi)
-        tj = idx.trans_cols(pj)
-        for r in range(d):
-            cols = [tj[r], ti[r]] + [idx.rot_col(pi, r, kk) for kk in range(d)]
-            coefs = [1.0, -1.0] + [-tm[kk] for kk in range(d)]
-            add_row(cols, coefs, 0.0, kij)
+                coefs = [1.0, -1.0] + [-tm[kk] for kk in range(d)]
+                add_row(cols, coefs, 0.0, kij)
 
     # ---- range costs -------------------------------------------------- #
     for m, meas in enumerate(fg.range_measurements):
