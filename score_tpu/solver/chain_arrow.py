@@ -348,6 +348,7 @@ class CAFactors(NamedTuple):
     kdd: jnp.ndarray  # SOCP (NR,) pivots; QCQP (NR,d,d) pivot inverses
     wv: jnp.ndarray  # SOCP (NR,d) coupling vectors; QCQP zeros
     Hhat: jnp.ndarray  # (NR, d, d)
+    Winv2: jnp.ndarray  # (NR, k, k) NT scalings (for refinement matvecs)
 
 
 def _tri(L, b):
@@ -709,7 +710,8 @@ class ChainArrowBackend:
             ),
         )
         return CAFactors(
-            pcr=pcrf, B=Bp, Z=Z, LS=LS, kdd=kdd, wv=wv, Hhat=Hhat
+            pcr=pcrf, B=Bp, Z=Z, LS=LS, kdd=kdd, wv=wv, Hhat=Hhat,
+            Winv2=Winv2,
         )
 
     # ---------------- solve ---------------- #
@@ -717,6 +719,25 @@ class ChainArrowBackend:
     @staticmethod
     def solve(problem: ConicProblem, state: CAState, factors: CAFactors,
               rhs, params):
+        dx = ChainArrowBackend._solve_once(problem, state, factors, rhs)
+        for _ in range(params.kkt_refine_steps):
+            # refinement against the true K = P + G'W^{-2}G via structured
+            # matvecs — recovers digits lost to roundoff in the (exact but
+            # finite-precision) elimination, which matters on TPU where f64
+            # is emulated.
+            Gv = G_apply(problem, dx)
+            Kdx = ChainArrowBackend.P_matvec(state, dx) + ChainArrowBackend.GT(
+                problem, state, jnp.einsum("mij,mj->mi", factors.Winv2, Gv)
+            )
+            resid = state.mask * (rhs - Kdx)
+            dx = dx + ChainArrowBackend._solve_once(
+                problem, state, factors, resid
+            )
+        return dx
+
+    @staticmethod
+    def _solve_once(problem: ConicProblem, state: CAState,
+                    factors: CAFactors, rhs):
         st = state.structure
         C, T, D, d, A = st.C, st.T, st.D, st.d, st.A
         dtype = rhs.dtype
