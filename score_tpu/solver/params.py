@@ -46,7 +46,7 @@ class ScoreSolverParams:
     # (fast TPU path), or "mixed" (f32 factorization + refinement, then
     # f64 polish iterations)
     precision: str = "f64"
-    kkt_refine_steps: int = 0
+    kkt_refine_steps: int = 1
 
     # Solve in normalized translation units (conditioning; exact
     # reparameterization, see assembly/normalize.py).
