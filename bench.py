@@ -22,7 +22,7 @@ import json
 import sys
 import time
 
-CPU_DENSE_BASELINE_SECONDS = 85.4  # dense-KKT IPM, JAX_PLATFORMS=cpu, f64
+CPU_DENSE_BASELINE_SECONDS = 55.2  # dense-KKT IPM via solve_score, JAX_PLATFORMS=cpu, f64
 GOATS = "/root/reference/examples/goats_14_data/goats_14_6_2002_15_20.pkl"
 
 
