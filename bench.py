@@ -11,9 +11,10 @@ time was all inside Gurobi).
 The reference publishes no numbers (BASELINE.md), so `vs_baseline` reports
 speedup against a CPU barrier-method solve of the same problem: the dense
 f64 Cholesky IPM on the host CPU backend (the general-purpose approach a
-Gurobi/MOSEK-class CPU solver embodies), measured at 85.4 s on this image.
+Gurobi/MOSEK-class CPU solver embodies), measured at 55.2 s through the
+same solve_score path on this image.
 For reference, this framework's own structure-exploiting backend on CPU
-takes ~3 s — the TPU number below beats both.
+takes ~1.2 s warm — the TPU number includes host assembly + rounding.
 
 Prints exactly one JSON line.
 """
