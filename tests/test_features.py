@@ -1,0 +1,145 @@
+"""Feature tests: telemetry, warm start + checkpoint, init techniques,
+normalization, and the params surface."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from score_tpu.api import ScoreSolverParams, solve_score
+from score_tpu.assembly.conic import SOCP_RELAXATION, build_conic_problem
+from score_tpu.assembly.initialization import (
+    ACCEPTABLE_INIT,
+    build_initial_x,
+)
+from score_tpu.assembly.normalize import (
+    normalize_factor_graph,
+    translation_scale,
+)
+from score_tpu.assembly.conic import evaluate_objective
+from score_tpu.solver.ipm import IPMParams, SOLVED_STATUSES, solve_conic
+from score_tpu.utils.checkpoint import load_solver_state, save_solver_state
+from score_tpu.utils.telemetry import PhaseTimer, trace_solve
+from tests.test_assembly import small_graph
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(13)
+
+
+class TestTelemetry:
+    def test_trace_solve_histories(self, rng):
+        fg = small_graph(rng)
+        problem, _ = build_conic_problem(fg, SOCP_RELAXATION)
+        result, trace = trace_solve(problem, num_iters=25)
+        assert trace.status in SOLVED_STATUSES
+        k = trace.iterations
+        # gap decreases substantially over the solve
+        assert trace.gap[k] < trace.gap[0] * 1e-3
+        d = trace.as_dict()
+        assert len(d["gap"]) == k + 1
+
+    def test_phase_timer(self):
+        t = PhaseTimer()
+        with t.phase("a"):
+            pass
+        with t.phase("b"):
+            pass
+        assert set(t.phases) == {"a", "b"}
+        assert "total=" in t.summary()
+
+
+class TestWarmStart:
+    def test_checkpoint_roundtrip_and_resume(self, rng, tmp_path):
+        fg = small_graph(rng)
+        problem, _ = build_conic_problem(fg, SOCP_RELAXATION)
+        r1 = solve_conic(problem, IPMParams())
+        path = str(tmp_path / "state.npz")
+        save_solver_state(path, r1)
+        ws = tuple(jnp.asarray(a) for a in load_solver_state(path))
+        r2 = solve_conic(problem, IPMParams(), warm_start=ws)
+        # warm restart takes no more work than the cold solve (and exactly
+        # zero when the checkpoint met full tolerance)
+        assert int(r2.iterations) <= int(r1.iterations)
+        assert int(r2.status) in SOLVED_STATUSES
+        assert float(r2.pobj) == pytest.approx(float(r1.pobj), rel=1e-5)
+
+
+class TestInitTechniques:
+    def test_all_techniques_produce_feasible_starts(self, rng):
+        fg = small_graph(rng, loop=False)
+        problem, idx = build_conic_problem(fg, SOCP_RELAXATION)
+        for tech in ACCEPTABLE_INIT:
+            x0 = build_initial_x(fg, problem, idx, tech)
+            assert x0.shape == (problem.n,)
+            assert np.isfinite(x0).all()
+            np.testing.assert_allclose(
+                x0[np.asarray(problem.pin_idx)],
+                np.asarray(problem.pin_val),
+            )
+
+    def test_odom_start_has_low_odometry_cost(self, rng):
+        fg = small_graph(rng, loop=False)
+        problem, idx = build_conic_problem(fg, SOCP_RELAXATION)
+        x_odom = build_initial_x(fg, problem, idx, "odom")
+        x_zero = build_initial_x(fg, problem, idx, "zero")
+        assert evaluate_objective(problem, x_odom) < evaluate_objective(
+            problem, x_zero
+        )
+
+    def test_solve_with_techniques(self, rng):
+        fg = small_graph(rng, loop=False)
+        objs = []
+        for tech in ("default", "odom", "gt"):
+            r = solve_score(
+                fg, SOCP_RELAXATION,
+                ScoreSolverParams(init_technique=tech, max_iter=40),
+            )
+            assert r.solved
+            objs.append(r.primal_objective)
+        assert max(objs) - min(objs) < 1e-4 * max(1.0, abs(objs[0]))
+
+    def test_custom_init_file(self, rng, tmp_path):
+        fg = small_graph(rng, loop=False)
+        problem, idx = build_conic_problem(fg, SOCP_RELAXATION)
+        x0 = build_initial_x(fg, problem, idx, "odom")
+        path = str(tmp_path / "init.npz")
+        np.savez(path, x=x0)
+        r = solve_score(
+            fg, SOCP_RELAXATION,
+            ScoreSolverParams(custom_init_file=path, normalize=False),
+        )
+        assert r.solved
+
+
+class TestNormalization:
+    def test_objective_preserved_exactly(self, rng):
+        fg = small_graph(rng)
+        scaled, s = normalize_factor_graph(fg)
+        assert s == translation_scale(fg)
+        p1, idx1 = build_conic_problem(fg, SOCP_RELAXATION)
+        p2, idx2 = build_conic_problem(scaled, SOCP_RELAXATION)
+        x = rng.normal(size=p1.n)
+        # scale-consistent point: translations/distances divided by s
+        x_scaled = x.copy()
+        for p in range(idx1.num_poses):
+            x_scaled[idx1.trans_cols(p)] /= s
+        for l in range(idx1.num_landmarks):
+            x_scaled[idx1.landmark_cols(l)] /= s
+        for m in range(idx1.num_ranges):
+            x_scaled[idx1.dist_cols(m)] /= s  # SOCP scalar distance
+        assert evaluate_objective(p2, x_scaled) == pytest.approx(
+            evaluate_objective(p1, x), rel=1e-9
+        )
+
+    def test_solutions_match_with_and_without(self, rng):
+        fg = small_graph(rng)
+        r1 = solve_score(fg, SOCP_RELAXATION, ScoreSolverParams(normalize=True))
+        r2 = solve_score(fg, SOCP_RELAXATION, ScoreSolverParams(normalize=False))
+        assert r1.primal_objective == pytest.approx(
+            r2.primal_objective, rel=1e-5, abs=1e-7
+        )
+        t1 = r1.poses["A3"][:2, 2]
+        t2 = r2.poses["A3"][:2, 2]
+        np.testing.assert_allclose(t1, t2, atol=2e-3)
