@@ -86,6 +86,13 @@ class IPMParams:
     # Stop after this many consecutive iterations without improving the
     # best-iterate metric (endgame thrashing at the precision floor).
     stall_limit: int = 5
+    # Gondzio multiple centrality correctors: extra backsolves on the
+    # already-computed factorization that push the trial point's scaled
+    # complementarity products into [beta_min, beta_max] * target mu;
+    # accepted only when they extend the step length.
+    gondzio_correctors: int = 2
+    gondzio_beta_min: float = 0.1
+    gondzio_beta_max: float = 10.0
 
 
 class IPMResult(NamedTuple):
@@ -231,6 +238,17 @@ def _step(backend, problem: ConicProblem, state_ops, params: IPMParams,
         ds = -rz - Gdx
         return dx, ds, dz
 
+    def kkt_dirs_correction(d):
+        # pure-centrality correction: residual-free variant of kkt_dirs
+        v = cones.apply_W(nt, cones.jordan_solve(lam, d))
+        wrz = jnp.einsum("mij,mj->mi", Winv2, v)
+        rhs = state_ops.mask * (-backend.GT(problem, state_ops, wrz))
+        dx = backend.solve(problem, state_ops, factors, rhs, params)
+        Gdx = backend.G(problem, state_ops, dx)
+        dz = jnp.einsum("mij,mj->mi", Winv2, Gdx + v)
+        ds = -Gdx
+        return dx, ds, dz
+
     # --- affine (predictor) direction ---
     d_aff = -cones.jordan_mul(lam, lam)
     dx_a, ds_a, dz_a = kkt_dirs(d_aff)
@@ -247,11 +265,43 @@ def _step(backend, problem: ConicProblem, state_ops, params: IPMParams,
     )
     d_comb = d_aff - correction + sigma * mu * e
     dx, ds, dz = kkt_dirs(d_comb)
-    alpha = jnp.minimum(
-        1.0,
-        params.step_fraction
-        * jnp.minimum(cones.max_step(s, ds), cones.max_step(z, dz)),
-    )
+
+    def step_len(ds_, dz_):
+        return jnp.minimum(
+            1.0,
+            params.step_fraction
+            * jnp.minimum(cones.max_step(s, ds_), cones.max_step(z, dz_)),
+        )
+
+    alpha = step_len(ds, dz)
+
+    # --- Gondzio multiple centrality correctors ---
+    mu_t = sigma * mu
+    for _ in range(params.gondzio_correctors):
+        a_trial = jnp.minimum(1.0, 1.1 * alpha + 0.1)
+        s_t = s + a_trial * ds
+        z_t = z + a_trial * dz
+        prod = cones.jordan_mul(
+            cones.apply_Winv(nt, s_t), cones.apply_W(nt, z_t)
+        )
+        lo = params.gondzio_beta_min * mu_t
+        hi = params.gondzio_beta_max * mu_t
+        head = prod[:, :1]
+        target_head = jnp.clip(head, lo, hi)
+        d_extra = jnp.concatenate(
+            [target_head - head, -prod[:, 1:]], axis=1
+        )
+        # only correct meaningfully off-center cones
+        off = (head < lo) | (head > hi)
+        d_extra = jnp.where(off, d_extra, 0.0)
+        dx_c, ds_c, dz_c = kkt_dirs_correction(d_extra)
+        dx_n, ds_n, dz_n = dx + dx_c, ds + ds_c, dz + dz_c
+        alpha_n = step_len(ds_n, dz_n)
+        accept = alpha_n > alpha * 1.01
+        dx = jnp.where(accept, dx_n, dx)
+        ds = jnp.where(accept, ds_n, ds)
+        dz = jnp.where(accept, dz_n, dz)
+        alpha = jnp.where(accept, alpha_n, alpha)
 
     x_new = x + alpha * dx
     s_new = s + alpha * ds
