@@ -80,9 +80,10 @@ class IPMParams:
     # iteration stops on max_iter, stagnation, or a numerical breakdown.
     # Still far tighter than the reference's 1e-1 (gurobi_utils.py:212).
     # The f64 endgame floor on large ill-conditioned instances sits around
-    # relgap ~1e-6..1e-5 with residuals far below it.
+    # relgap ~4e-7 (host f64) to ~2e-5 (TPU-emulated f64) with residuals
+    # far below it; the reduced band covers both with margin.
     tol_feas_reduced: float = 1e-6
-    tol_gap_reduced: float = 1e-5
+    tol_gap_reduced: float = 1e-4
     # Stop after this many consecutive iterations without improving the
     # best-iterate metric (endgame thrashing at the precision floor).
     stall_limit: int = 5
