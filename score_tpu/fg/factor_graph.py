@@ -90,12 +90,22 @@ class FactorGraphData(_PickleStateMixin):
             self.pose_variables.append([])
         if pose.name in self.existing_pose_variables:
             raise ValueError(f"Duplicate pose variable {pose.name}")
+        if pose.name in self.existing_landmark_variables:
+            raise ValueError(
+                f"Pose name {pose.name} collides with a landmark name "
+                "(cross-registry guard, parity: gurobi_utils.py:62-80)"
+            )
         self.pose_variables[chain_idx].append(pose)
         self.existing_pose_variables.add(pose.name)
 
     def add_landmark_variable(self, landmark: LANDMARK_VARIABLE) -> None:
         if landmark.name in self.existing_landmark_variables:
             raise ValueError(f"Duplicate landmark variable {landmark.name}")
+        if landmark.name in self.existing_pose_variables:
+            raise ValueError(
+                f"Landmark name {landmark.name} collides with a pose name "
+                "(cross-registry guard, parity: gurobi_utils.py:62-80)"
+            )
         self.landmark_variables.append(landmark)
         self.existing_landmark_variables.add(landmark.name)
 

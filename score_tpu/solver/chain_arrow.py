@@ -239,7 +239,9 @@ def build_chain_arrow(
             (b, end_b_cols, oh_pose_b, oh_lm_b, oh_chain_b, oh_arrow_b),
         ):
             ec[m] = np.asarray(idx.translation_cols(name))
-            if name in name_to_lm:
+            # pose-first dispatch, consistent with
+            # VariableIndex.translation_cols (gurobi_utils.py:103-109)
+            if name not in name_to_pose and name in name_to_lm:
                 l = name_to_lm[name]
                 ohl[m, l] = 1.0
                 oha[m, l] = 1.0
