@@ -73,14 +73,26 @@ def stack_problems(problems: Sequence[ConicProblem]) -> ConicProblem:
 
 
 def solve_conic_batch(
-    batched_problem: ConicProblem, params: IPMParams = IPMParams()
+    batched_problem: ConicProblem,
+    params: IPMParams = IPMParams(),
+    backend=None,
+    backend_aux=None,
 ) -> IPMResult:
     """Solve a batch (leading axis on every data field) with one vmapped,
     jit-compiled IPM. All trials run the full iteration count of the slowest
-    trial; converged trials freeze (the solver's finite-state update is
-    idempotent at convergence tolerance)."""
+    trial; converged trials freeze. ``backend``/``backend_aux`` select the
+    KKT backend (e.g. ChainArrowBackend + its shared structure — one
+    structure serves the whole batch)."""
+    from score_tpu.solver.backend import DenseBackend
+
+    backend = backend or DenseBackend
     fn = jax.jit(
-        jax.vmap(lambda pb: solve_conic_fixed(pb, params, num_iters=params.max_iter))
+        jax.vmap(
+            lambda pb: solve_conic_fixed(
+                pb, params, num_iters=params.max_iter,
+                backend=backend, backend_aux=backend_aux,
+            )
+        )
     )
     return fn(batched_problem)
 
@@ -95,6 +107,8 @@ def solve_conic_sharded(
     mesh: Optional[Mesh] = None,
     params: IPMParams = IPMParams(),
     axis_name: str = "trials",
+    backend=None,
+    backend_aux=None,
 ) -> IPMResult:
     """Data-parallel batched solve over a device mesh.
 
@@ -122,10 +136,17 @@ def solve_conic_sharded(
         **{f: put(getattr(batched_problem, f)) for f in _DATA_FIELDS},
     )
 
+    from score_tpu.solver.backend import DenseBackend
+
+    backend = backend or DenseBackend
+
     @jax.jit
     def run(pb):
         return jax.vmap(
-            lambda p: solve_conic_fixed(p, params, num_iters=params.max_iter)
+            lambda p: solve_conic_fixed(
+                p, params, num_iters=params.max_iter,
+                backend=backend, backend_aux=backend_aux,
+            )
         )(pb)
 
     return run(batched_problem)

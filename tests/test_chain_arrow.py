@@ -134,3 +134,54 @@ class TestGuards:
         fg2 = small_graph(rng, loop=True)
         res2 = solve_score(fg2, SOCP_RELAXATION, ScoreSolverParams())
         assert res2.solved  # falls back to dense with the loop closure
+
+
+class TestManyRobots:
+    """Regression: >= 12 robots once collided robot letter 'L' with landmark
+    names, silently corrupting the graph wiring."""
+
+    def test_letter_L_reserved(self):
+        from score_tpu.sim.manhattan import _ROBOT_LETTERS
+
+        assert "L" not in _ROBOT_LETTERS
+
+    def test_name_collision_rejected(self):
+        from score_tpu.fg import (
+            FactorGraphData,
+            LandmarkVariable2D,
+            PoseVariable2D,
+        )
+
+        fg = FactorGraphData(dimension=2)
+        fg.add_landmark_variable(LandmarkVariable2D("L0", (0.0, 0.0)))
+        with pytest.raises(ValueError):
+            fg.add_pose_variable(PoseVariable2D("L0"))
+        fg2 = FactorGraphData(dimension=2)
+        fg2.add_pose_variable(PoseVariable2D("X0"))
+        with pytest.raises(ValueError):
+            fg2.add_landmark_variable(LandmarkVariable2D("X0", (0.0, 0.0)))
+
+    def test_13_robot_world_converges_and_matches_dense(self):
+        fg = simulate_manhattan_world(
+            ManhattanWorldParams(
+                num_robots=13,
+                num_poses_per_robot=6,
+                num_landmarks=3,
+                grid_size=8,
+                range_measure_prob=0.5,
+                inter_robot_measure_prob=0.2,
+                inter_robot_sensing_radius=12.0,
+                seed=1,
+            )
+        )
+        problem, idx = build_conic_problem(fg, SOCP_RELAXATION)
+        ca = build_chain_arrow(problem, idx)
+        r_ca = solve_conic(
+            problem, IPMParams(max_iter=40),
+            backend=ChainArrowBackend, backend_aux=ca,
+        )
+        r_d = solve_conic(problem, IPMParams(max_iter=40))
+        assert int(r_ca.status) in SOLVED_STATUSES
+        assert float(r_ca.pobj) == pytest.approx(
+            float(r_d.pobj), rel=1e-5, abs=1e-7
+        )
