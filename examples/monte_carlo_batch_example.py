@@ -17,6 +17,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 from score_tpu.assembly.conic import SOCP_RELAXATION, build_conic_problem
 from score_tpu.parallel.batch import solve_conic_batch, stack_problems
+from score_tpu.solver.chain_arrow import ChainArrowBackend, build_chain_arrow
 from score_tpu.sim.manhattan import (
     ManhattanWorldParams,
     resample_measurements,
@@ -45,13 +46,17 @@ def main() -> None:
     print(f"assembled {num_trials} trials in {time.time()-t0:.2f}s "
           f"(n={problems[0].n}, cones={problems[0].num_cones})")
 
+    _, idx = build_conic_problem(trials[0], SOCP_RELAXATION)
+    ca = build_chain_arrow(problems[0], idx)
     params = IPMParams(max_iter=30)
     t0 = time.time()
-    res = solve_conic_batch(batch, params)
+    res = solve_conic_batch(batch, params, backend=ChainArrowBackend,
+                            backend_aux=ca)
     np.asarray(res.x)
     t_compile = time.time() - t0
     t0 = time.time()
-    res = solve_conic_batch(batch, params)
+    res = solve_conic_batch(batch, params, backend=ChainArrowBackend,
+                            backend_aux=ca)
     np.asarray(res.x)
     t_warm = time.time() - t0
 
