@@ -23,7 +23,7 @@ from score_tpu.sim.manhattan import (
     resample_measurements,
     simulate_manhattan_world,
 )
-from score_tpu.solver.ipm import IPMParams, OPTIMAL
+from score_tpu.solver.ipm import IPMParams, SOLVED_STATUSES
 
 
 def main() -> None:
@@ -63,7 +63,8 @@ def main() -> None:
     statuses = np.asarray(res.status)
     print(f"compile+run {t_compile:.2f}s, warm batch solve {t_warm:.2f}s "
           f"({t_warm / num_trials * 1e3:.1f} ms/trial)")
-    print(f"converged: {(statuses == OPTIMAL).sum()}/{num_trials}")
+    solved = np.isin(statuses, SOLVED_STATUSES).sum()
+    print(f"converged: {solved}/{num_trials}")
     print("objectives:", np.round(np.asarray(res.pobj), 3))
 
 
