@@ -58,6 +58,21 @@ class ScoreSolverParams:
     backend: str = "auto"  # auto | chain_arrow | dense
 
     def ipm_params(self) -> IPMParams:
+        if self.precision == "f32":
+            # initializer-grade fast mode: f32 reaches ~1e-3..1e-4 relative
+            # accuracy (still far tighter than the reference's 1e-1,
+            # gurobi_utils.py:212)
+            return IPMParams(
+                max_iter=self.max_iter,
+                tol_feas=max(self.tol_feas, 1e-5),
+                tol_gap_abs=max(self.tol_gap_abs, 1e-5),
+                tol_gap_rel=max(self.tol_gap_rel, 1e-5),
+                step_fraction=self.step_fraction,
+                kkt_refine_steps=max(self.kkt_refine_steps, 1),
+                tol_feas_reduced=1e-2,
+                tol_gap_reduced=1e-2,
+                static_reg=1e-7,
+            )
         return IPMParams(
             max_iter=self.max_iter,
             tol_feas=self.tol_feas,

@@ -143,3 +143,17 @@ class TestNormalization:
         t1 = r1.poses["A3"][:2, 2]
         t2 = r2.poses["A3"][:2, 2]
         np.testing.assert_allclose(t1, t2, atol=2e-3)
+
+
+class TestPrecisionModes:
+    def test_f32_fast_mode(self, rng):
+        fg = small_graph(rng, loop=False)
+        r64 = solve_score(fg, SOCP_RELAXATION, ScoreSolverParams())
+        r32 = solve_score(
+            fg, SOCP_RELAXATION, ScoreSolverParams(precision="f32")
+        )
+        assert r32.solved
+        # initializer-grade agreement with the f64 solve
+        assert r32.primal_objective == pytest.approx(
+            r64.primal_objective, rel=1e-2, abs=1e-3
+        )
