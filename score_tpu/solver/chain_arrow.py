@@ -658,16 +658,20 @@ class ChainArrowBackend:
                 "ma,mb,mij->aibj", st.oh_arrow_a, st.oh_arrow_b, -Hhat
             )
             Sblk = Sblk + cross_aa + jnp.einsum("aibj->bjai", cross_aa)
-            # chain-arrow cross
-            cross = jnp.einsum(
-                "mp,mb,mij->pbij", st.oh_chain_a, st.oh_arrow_b, -Hhat
-            ) + jnp.einsum(
-                "mp,mb,mij->pbij", st.oh_chain_b, st.oh_arrow_a, -Hhat
-            )  # (C*T, NAb, d(chain), d(arrow)) — Hhat symmetric
+            # chain-arrow cross terms, factorized into d*d plain matmuls
+            # (a direct 'mp,mb,mij->pbij' einsum materializes a
+            # (C*T, NAb, d, d) intermediate — hundreds of MB at Manhattan
+            # scale; each (i, j) slice below is a (CT x NR)(NR x NAb)
+            # matmul with small intermediates, MXU-friendly). Hhat symmetric.
             Badd = jnp.zeros((C * T, D, st.NAb, d), dtype=dtype)
-            Badd = Badd.at[:, d * d :, :, :].add(
-                jnp.einsum("pbij->pibj", cross)
-            )
+            for i in range(d):
+                for j in range(d):
+                    w_ij = -Hhat[:, i, j]
+                    cross_ij = (
+                        (st.oh_chain_a * w_ij[:, None]).T @ st.oh_arrow_b
+                        + (st.oh_chain_b * w_ij[:, None]).T @ st.oh_arrow_a
+                    )  # (C*T, NAb)
+                    Badd = Badd.at[:, d * d + i, :, j].add(cross_ij)
             Bg = Bg + Badd.reshape(C * T, D, st.NAb * d)[..., :A].reshape(
                 C, T, D, A
             )
