@@ -77,10 +77,14 @@ ACCEPTABLE_INIT = (RANDOM_INIT, ZERO_INIT, ODOM_INIT, GT_INIT)
 def __getattr__(name):
     # Lazy imports to keep `import score_tpu` light and cycle-free.
     if name in ("solve_score", "solve_problem_with_intermediate_iterates",
-                "ScoreSolverParams", "visualize_solution"):
+                "ScoreSolverParams"):
         from score_tpu import api
 
         return getattr(api, name)
+    if name in ("visualize_solution", "plot_error", "plot_trajectories"):
+        from score_tpu.utils import plot
+
+        return getattr(plot, name)
     raise AttributeError(f"module 'score_tpu' has no attribute {name!r}")
 
 

@@ -157,3 +157,32 @@ class TestPrecisionModes:
         assert r32.primal_objective == pytest.approx(
             r64.primal_objective, rel=1e-2, abs=1e-3
         )
+
+
+class TestAPISurface:
+    def test_lazy_exports(self):
+        import score_tpu
+
+        assert callable(score_tpu.solve_score)
+        assert callable(score_tpu.solve_problem_with_intermediate_iterates)
+        assert callable(score_tpu.visualize_solution)
+        assert callable(score_tpu.plot_error)
+        assert score_tpu.ScoreSolverParams is not None
+        assert score_tpu.SOCP_RELAXATION == "SOCP"
+        assert score_tpu.QCQP_RELAXATION == "QCQP"
+
+    def test_intermediate_iterates_api(self, rng):
+        from score_tpu.api import solve_problem_with_intermediate_iterates
+
+        fg = small_graph(rng, loop=False)
+        iterates = solve_problem_with_intermediate_iterates(
+            fg, SOCP_RELAXATION, ScoreSolverParams(max_iter=30)
+        )
+        assert len(iterates) >= 2
+        assert iterates[-1].solved
+        assert not iterates[0].solved
+        # every iterate carries rounded SO(2) poses
+        for it in (iterates[0], iterates[-1]):
+            for T in it.poses.values():
+                R = np.asarray(T)[:2, :2]
+                np.testing.assert_allclose(R @ R.T, np.eye(2), atol=1e-6)
