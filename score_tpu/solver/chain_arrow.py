@@ -139,12 +139,25 @@ def build_chain_arrow(
     name_to_pose = {nm: i for i, nm in enumerate(idx.pose_names)}
     name_to_lm = {nm: i for i, nm in enumerate(idx.landmark_names)}
 
-    # arrow poses: endpoints of pose-pose ranges
-    arrow_pose_set = set()
+    # Arrow poses: a VERTEX COVER of the pose-pose range graph. A range
+    # edge only needs ONE endpoint in the arrow — the other side stays
+    # chain-resident and couples through B exactly like a pose-landmark
+    # edge. Greedy max-degree cover roughly halves the arrow width (and
+    # the dominant A^2/A^3 factor cost) vs taking every endpoint.
+    pp_edges = []
+    degree: dict = {}
     for (a, b) in idx.dist_keys:
         if a in name_to_pose and b in name_to_pose:
-            arrow_pose_set.add(name_to_pose[a])
-            arrow_pose_set.add(name_to_pose[b])
+            pa, pb = name_to_pose[a], name_to_pose[b]
+            pp_edges.append((pa, pb))
+            degree[pa] = degree.get(pa, 0) + 1
+            degree[pb] = degree.get(pb, 0) + 1
+    arrow_pose_set = set()
+    for pa, pb in sorted(
+        pp_edges, key=lambda e: -(degree[e[0]] + degree[e[1]])
+    ):
+        if pa not in arrow_pose_set and pb not in arrow_pose_set:
+            arrow_pose_set.add(pa if degree[pa] >= degree[pb] else pb)
     arrow_poses = sorted(arrow_pose_set)
     NAb = NL + len(arrow_poses)
     NAb_eff = max(NAb, 1)

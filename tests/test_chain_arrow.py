@@ -182,6 +182,7 @@ class TestManyRobots:
         )
         r_d = solve_conic(problem, IPMParams(max_iter=40))
         assert int(r_ca.status) in SOLVED_STATUSES
+        # near-zero optimum: absolute agreement at solver tolerance
         assert float(r_ca.pobj) == pytest.approx(
-            float(r_d.pobj), rel=1e-5, abs=1e-7
+            float(r_d.pobj), rel=1e-5, abs=1e-6
         )
