@@ -40,6 +40,7 @@ __all__ = [
     "draw_landmark_solution",
     "draw_loop_closure_measurement",
     "draw_arc_patch",
+    "check_solution_quality",
 ]
 
 
@@ -311,3 +312,35 @@ def visualize_solution(
         plt.show(block=True)
     plt.close(fig)
     return fig
+
+
+def check_solution_quality(
+    results,
+    save_path: Optional[str] = None,
+    show: bool = False,
+):
+    """Plot the determinants of the (un/rounded) rotation blocks — the
+    diagnostic the reference sketched in solve_score.py:35-51 (its version
+    was dead code calling a nonexistent Drake-style API). Determinants far
+    from 1 before rounding indicate a loose relaxation. Returns the dict of
+    determinants."""
+    import matplotlib
+
+    if not show:
+        matplotlib.use("Agg", force=False)
+    import matplotlib.pyplot as plt
+
+    dets = {
+        name: float(np.linalg.det(np.asarray(T)[:-1, :-1]))
+        for name, T in results.poses.items()
+    }
+    fig, ax = plt.subplots(figsize=(8, 4))
+    ax.plot(list(range(len(dets))), list(dets.values()))
+    ax.set_ylim([-0.1, 1.1])
+    ax.set_title("Determinants of rotation matrices")
+    if save_path:
+        fig.savefig(save_path, dpi=120, bbox_inches="tight")
+    if show:
+        plt.show(block=True)
+    plt.close(fig)
+    return dets
