@@ -133,6 +133,11 @@ def _residuals(backend, problem, state, x, s, z):
 
 
 def _convergence(backend, problem, state, params: IPMParams, x, s, z):
+    out = _convergence_full(backend, problem, state, params, x, s, z)
+    return out[:6]
+
+
+def _convergence_full(backend, problem, state, params: IPMParams, x, s, z):
     # Residuals scaled by the magnitude of their constituent terms
     # (SCS/Clarabel-style), so convergence is relative even when q or h
     # vanish (e.g. QCQP mode has q = 0 when there are no landmark priors).
@@ -169,7 +174,7 @@ def _convergence(backend, problem, state, params: IPMParams, x, s, z):
         & ((gap < params.tol_gap_abs) | (relgap < params.tol_gap_rel))
     )
     bad = ~(jnp.isfinite(pres) & jnp.isfinite(dres) & jnp.isfinite(gap))
-    return ok, bad, pres, dres, gap, pq
+    return ok, bad, pres, dres, gap, pq, rx, rz
 
 
 def _metric(pres, dres, gap, pobj):
@@ -180,8 +185,10 @@ def _metric(pres, dres, gap, pobj):
 
 def _advance(backend, problem, state_ops, params, st: _State) -> _State:
     """One loop trip: convergence bookkeeping (best-iterate + stall
-    tracking), then a Mehrotra step unless terminal."""
-    ok, bad, pres, dres, gap, pq = _convergence(
+    tracking), then a Mehrotra step unless terminal. The residuals computed
+    for the convergence check are reused by the step (the operator
+    applications are a meaningful share of structured-backend time)."""
+    ok, bad, pres, dres, gap, pq, rx, rz = _convergence_full(
         backend, problem, state_ops, params, st.x, st.s, st.z
     )
     m = _metric(pres, dres, gap, pq + state_ops.const)
@@ -208,13 +215,14 @@ def _advance(backend, problem, state_ops, params, st: _State) -> _State:
     return jax.lax.cond(
         terminal,
         lambda s: s,
-        lambda s: _step(backend, problem, state_ops, params, s),
+        lambda s: _step(backend, problem, state_ops, params, s,
+                        residuals=(rx, rz)),
         st,
     )
 
 
 def _step(backend, problem: ConicProblem, state_ops, params: IPMParams,
-          st: _State) -> _State:
+          st: _State, residuals=None) -> _State:
     x, s, z = st.x, st.s, st.z
     N = problem.num_cones
     dtype = x.dtype
@@ -224,7 +232,10 @@ def _step(backend, problem: ConicProblem, state_ops, params: IPMParams,
     Winv2 = cones.winv2_matrices(nt)
     factors = backend.factor(problem, state_ops, Winv2, params)
 
-    rx, rz = _residuals(backend, problem, state_ops, x, s, z)
+    if residuals is None:
+        rx, rz = _residuals(backend, problem, state_ops, x, s, z)
+    else:
+        rx, rz = residuals
     gap = cones.inner(s, z)
     mu = gap / N
 
