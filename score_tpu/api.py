@@ -149,7 +149,7 @@ def extract_solver_results(
     )
 
 
-def _build_warm_start(scaled_data, problem, idx, params):
+def _build_warm_start(scaled_data, problem, idx, params, scale=1.0):
     """Realize init_technique / custom_init_file (the config surface the
     reference example intended, examples/solve_goats_example_score.py:28-34):
     construct x0, take s0 = h - G x0 and z0 = e (shifted to the interior by
@@ -161,6 +161,17 @@ def _build_warm_start(scaled_data, problem, idx, params):
         x0 = np.load(params.custom_init_file)["x"]
     else:
         x0 = build_initial_x(scaled_data, problem, idx, technique)
+        if scale != 1.0 and technique in ("gt", "random"):
+            # ground-truth / world-bounds values live in ORIGINAL units;
+            # the problem is solved in normalized units (odometry
+            # dead-reckoning already composes scaled measurements)
+            for pidx in range(idx.num_poses):
+                x0[np.asarray(idx.trans_cols(pidx))] /= scale
+            for l in range(idx.num_landmarks):
+                x0[np.asarray(idx.landmark_cols(l))] /= scale
+            if idx.relaxation == "SOCP":
+                for m in range(idx.num_ranges):
+                    x0[np.asarray(idx.dist_cols(m))] /= scale
     x0 = jnp.asarray(x0)
     s0 = problem.cone_h - G_apply(problem, x0)
     z0 = _cones.soc_identity(problem.num_cones, problem.k, x0.dtype)
@@ -187,7 +198,7 @@ def solve_score(
     if params.precision == "f32":
         problem = _cast_problem(problem, jnp.float32)
     backend, backend_aux = _select_backend(data, problem, idx, params)
-    warm_start = _build_warm_start(scaled_data, problem, idx, params)
+    warm_start = _build_warm_start(scaled_data, problem, idx, params, scale)
     result = solve_conic(
         problem, params.ipm_params(), backend=backend,
         backend_aux=backend_aux, warm_start=warm_start,

@@ -91,6 +91,11 @@ def normalize_factor_graph(fg: FactorGraphData) -> Tuple[FactorGraphData, float]
         )
 
     out.landmark_priors = [scale_lm_prior(p) for p in fg.landmark_priors]
+    # world bounds follow the translation scale (used by random init)
+    for attr in ("x_min", "x_max", "y_min", "y_max", "z_min", "z_max"):
+        v = getattr(fg, attr)
+        if v is not None:
+            setattr(out, attr, float(v) / s)
     return out, s
 
 
