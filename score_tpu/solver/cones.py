@@ -23,6 +23,8 @@ from typing import NamedTuple
 
 import jax.numpy as jnp
 
+from score_tpu.solver import dd
+
 __all__ = [
     "NTScaling",
     "soc_identity",
@@ -54,12 +56,25 @@ def soc_identity(N: int, k: int, dtype) -> jnp.ndarray:
 
 
 def inner(u: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
-    """Total inner product over the cone product: sum_m <u_m, v_m>."""
-    return jnp.sum(u * v)
+    """Total inner product over the cone product: sum_m <u_m, v_m>.
+
+    Per-cone products are compensated (near-complementary pairs cancel to
+    O(mu) from O(1) terms); the cross-cone sum of the nonnegative per-cone
+    gaps is benign."""
+    return jnp.sum(dd.dot(u, v))
+
+
+def percone_inner(u: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
+    """Compensated <u_m, v_m> per cone, shape (N,)."""
+    return dd.dot(u, v)
+
 
 def soc_residual(u: jnp.ndarray) -> jnp.ndarray:
-    """u0^2 - ||u1||^2 per cone (positive strictly inside the cone)."""
-    return u[:, 0] ** 2 - jnp.sum(u[:, 1:] ** 2, axis=1)
+    """u0^2 - ||u1||^2 per cone (positive strictly inside the cone),
+    evaluated with compensated arithmetic: near the boundary the naive
+    form has relative error eps * u0^2 / residual ~ eps/mu, which is what
+    otherwise floors the IPM endgame at sqrt(eps)-grade gaps."""
+    return dd.signed_sumsq(u)
 
 
 def min_eig(u: jnp.ndarray) -> jnp.ndarray:
@@ -96,11 +111,19 @@ def nt_scaling(s: jnp.ndarray, z: jnp.ndarray) -> NTScaling:
     gamma = sqrt((1 + sbar.zbar) / 2),
     wbar = (sbar + J zbar) / (2 gamma),   eta = sqrt(rho_s / rho_z).
     """
-    rho_s = jnp.sqrt(soc_residual(s))
-    rho_z = jnp.sqrt(soc_residual(z))
+    # Floor the (cancellation-prone) cone residuals at the smallest normal
+    # so a boundary-grazing iterate degrades the scaling instead of
+    # poisoning the whole step with NaNs; the solver's wide-neighborhood
+    # safeguard keeps iterates where this floor never binds.
+    tiny = jnp.finfo(s.dtype).smallest_normal
+    rho_s = jnp.sqrt(jnp.maximum(soc_residual(s), tiny))
+    rho_z = jnp.sqrt(jnp.maximum(soc_residual(z), tiny))
     sbar = s / rho_s[:, None]
     zbar = z / rho_z[:, None]
-    gamma = jnp.sqrt((1.0 + jnp.sum(sbar * zbar, axis=1)) / 2.0)
+    # <sbar, zbar> via the compensated per-cone product of the RAW vectors
+    # (the normalized dot would reintroduce the cancellation).
+    sz = percone_inner(s, z) / (rho_s * rho_z)
+    gamma = jnp.sqrt((1.0 + sz) / 2.0)
     Jzbar = zbar.at[:, 1:].multiply(-1.0)
     wbar = (sbar + Jzbar) / (2.0 * gamma[:, None])
     eta = jnp.sqrt(rho_s / rho_z)
@@ -149,8 +172,8 @@ def max_step(u: jnp.ndarray, du: jnp.ndarray, cap: float = 10.0) -> jnp.ndarray:
     f(alpha) = (u0+a du0)^2 - ||u1 + a du1||^2 >= 0 for its smallest positive
     root (the first boundary crossing). Returns a scalar.
     """
-    a = du[:, 0] ** 2 - jnp.sum(du[:, 1:] ** 2, axis=1)
-    b = 2.0 * (u[:, 0] * du[:, 0] - jnp.sum(u[:, 1:] * du[:, 1:], axis=1))
+    a = dd.signed_sumsq(du)
+    b = 2.0 * dd.jdot(u, du)
     c = soc_residual(u)  # > 0 strictly inside
     disc = b * b - 4.0 * a * c
     sq = jnp.sqrt(jnp.maximum(disc, 0.0))

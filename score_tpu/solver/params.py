@@ -39,14 +39,20 @@ class ScoreSolverParams:
     max_iter: int = 60
     tol_feas: float = 1e-8
     tol_gap_abs: float = 1e-8
-    tol_gap_rel: float = 1e-8
+    tol_gap_rel: float = 1e-6  # BASELINE.md north-star relative gap
     step_fraction: float = 0.99
 
     # precision policy: "f64" (accurate, CPU/TPU-emulated), "f32"
     # (fast TPU path), or "mixed" (f32 factorization + refinement, then
     # f64 polish iterations)
     precision: str = "f64"
-    kkt_refine_steps: int = 1
+    # Inner iterative-refinement passes per KKT solve (against the true
+    # K = P + G'W^{-2}G); subsumed to first order by dir_refine_steps.
+    kkt_refine_steps: int = 0
+    # Residual-guarded refinement passes of each search direction against
+    # the full unreduced Newton system — what lets the endgame reach the
+    # 1e-6-grade gap target (see solver/ipm.py).
+    dir_refine_steps: int = 1
 
     # Solve in normalized translation units (conditioning; exact
     # reparameterization, see assembly/normalize.py).
@@ -69,6 +75,7 @@ class ScoreSolverParams:
                 tol_gap_rel=max(self.tol_gap_rel, 1e-5),
                 step_fraction=self.step_fraction,
                 kkt_refine_steps=max(self.kkt_refine_steps, 1),
+                dir_refine_steps=self.dir_refine_steps,
                 tol_feas_reduced=1e-2,
                 tol_gap_reduced=1e-2,
                 static_reg=1e-7,
@@ -80,4 +87,5 @@ class ScoreSolverParams:
             tol_gap_rel=self.tol_gap_rel,
             step_fraction=self.step_fraction,
             kkt_refine_steps=self.kkt_refine_steps,
+            dir_refine_steps=self.dir_refine_steps,
         )

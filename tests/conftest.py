@@ -1,18 +1,40 @@
 """Test configuration: run JAX on a virtual 8-device CPU mesh so sharding
-tests work without TPU hardware (SURVEY.md §4 test plan)."""
+tests work without TPU hardware (SURVEY.md §4 test plan).
+
+The axon sitecustomize in this environment registers the TPU PJRT plugin
+at interpreter startup and pins ``jax_platforms`` to the axon backend —
+before pytest ever imports this conftest — so merely mutating
+``os.environ`` here is too late. But jax *backends* initialize lazily, so
+overriding the platform through ``jax.config`` at conftest-import time
+(before any test triggers backend initialization) reliably lands the
+whole suite on the 8-device CPU mesh. (A re-exec would also work but
+loses pytest's captured output fds.)
+"""
 
 import os
 
-# Must be set before jax initializes its backends. Clearing
-# PALLAS_AXON_POOL_IPS prevents the environment's sitecustomize from
-# registering the axon TPU plugin (which otherwise overrides JAX_PLATFORMS).
+flags = [
+    f
+    for f in os.environ.get("XLA_FLAGS", "").split()
+    if "xla_force_host_platform_device_count" not in f
+]
+os.environ["XLA_FLAGS"] = " ".join(
+    flags + ["--xla_force_host_platform_device_count=8"]
+)
+# Belt and braces for any subprocesses tests may spawn.
 os.environ["PALLAS_AXON_POOL_IPS"] = ""
 os.environ["JAX_PLATFORMS"] = "cpu"
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+assert jax.default_backend() == "cpu", (
+    "test bootstrap failed: jax initialized a non-CPU backend before "
+    "conftest could pin the platform — run pytest with "
+    "PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu "
+    "XLA_FLAGS=--xla_force_host_platform_device_count=8 exported"
+)
+assert len(jax.devices()) == 8, "expected the virtual 8-device CPU mesh"
 
 import pytest  # noqa: E402
 
