@@ -40,7 +40,11 @@ from score_tpu.solver.ipm import (
     solve_conic_with_iterates,
 )
 from score_tpu.solver.backend import DenseBackend
-from score_tpu.solver.chain_arrow import ChainArrowBackend, build_chain_arrow
+from score_tpu.solver.chain_arrow import (
+    ChainArrowBackend,
+    MixedChainArrowBackend,
+    build_chain_arrow,
+)
 from score_tpu.solver.params import ScoreSolverParams
 
 logger = logging.getLogger(__name__)
@@ -60,18 +64,25 @@ def _select_backend(
     params: ScoreSolverParams,
 ):
     """Resolve the KKT backend: the chain+arrow structured factorization
-    when supported (2D, no loop closures), dense Cholesky otherwise."""
+    (2D and 3D, loop closures handled as width-D arrow blocks), dense
+    Cholesky on explicit request or for pose-free graphs."""
     choice = params.backend
-    supported = data.dimension == 2 and len(data.loop_closure_measurements) == 0
+    supported = idx.num_poses > 0
     if choice == "dense" or (choice == "auto" and not supported):
         return DenseBackend, None
     if choice in ("auto", "chain_arrow"):
         if not supported:
             raise ValueError(
-                "chain_arrow backend requires a 2D problem without loop "
-                "closures; use backend='dense'"
+                "chain_arrow backend requires at least one pose chain; "
+                "use backend='dense'"
             )
-        return ChainArrowBackend, build_chain_arrow(problem, idx)
+        # "mixed": f32 structured factorization + f64 operators/refinement
+        cls = (
+            MixedChainArrowBackend
+            if params.precision == "mixed"
+            else ChainArrowBackend
+        )
+        return cls, build_chain_arrow(problem, idx)
     raise ValueError(f"Unknown backend {choice!r}")
 
 

@@ -86,6 +86,10 @@ class VariableIndex:
     landmark_names: Tuple[str, ...]
     dist_keys: Tuple[Tuple[str, str], ...]
     chain_lengths: Tuple[int, ...]
+    # (base_pose, to_pose) name pairs of loop-closure measurements, in
+    # cost-row emission order (used by the chain+arrow backend to keep
+    # loop edges out of the chain band)
+    loop_pairs: Tuple[Tuple[str, str], ...] = ()
 
     @property
     def num_poses(self) -> int:
@@ -269,6 +273,9 @@ def build_conic_problem(
             (r.first_key, r.second_key) for r in fg.range_measurements
         ),
         chain_lengths=tuple(len(c) for c in fg.pose_variables),
+        loop_pairs=tuple(
+            (m.base_pose, m.to_pose) for m in fg.loop_closure_measurements
+        ),
     )
     n = idx.num_cols
     nnz = d + 2  # widest row: 3D translation term (t_j, t_i, 3x R_i entries)

@@ -13,10 +13,13 @@ vectors of length M — i.e. the kernel operates on arrays of shape
 across the batch. This is the transpose-of-batch trick: small-matrix
 algebra becomes embarrassingly lane-parallel.
 
-Used by :mod:`score_tpu.solver.smallblocks` when inputs are f32 on a TPU
-backend (opt-in via ``SCORE_TPU_PALLAS=1`` until the f32 solver path is the
-default); correctness is pinned against the unrolled jnp implementations in
-tests (interpret mode on CPU, compiled on TPU).
+Wired into :mod:`score_tpu.solver.smallblocks`: exporting
+``SCORE_TPU_PALLAS=1`` routes every f32 `chol_small` / `tri_lower_solve`
+batch (the inner ops of the chain+arrow PCR factorization under
+``precision="f32"``/``"mixed"``) through these kernels; f64 keeps the
+unrolled jnp path (Pallas has no f64). Correctness is pinned against the
+unrolled jnp implementations in tests (interpret mode on CPU, compiled on
+TPU).
 """
 
 from __future__ import annotations

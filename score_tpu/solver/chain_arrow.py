@@ -7,27 +7,40 @@ The range-SLAM KKT matrix K = P + G'W^{-2}G has a fixed sparsity pattern
     endpoint translations -> eliminated analytically per range (batched
     closed forms);
   * pose blocks form per-robot chains coupled only by odometry
-    (block-tridiagonal, D=6-wide blocks in 2D);
-  * landmarks, plus the translations of poses touched by pose-pose (e.g.
-    inter-robot) ranges, form a small dense "arrow" block coupled to the
-    chains.
+    (block-tridiagonal, D = d(d+1)-wide blocks);
+  * landmarks, the translations of poses touched by pose-pose (e.g.
+    inter-robot) ranges, and the FULL pose blocks of a vertex cover of the
+    loop-closure graph form a dense "arrow" block coupled to the chains.
 
 One interior-point iteration then costs O(num_poses * D^3 + A^2 * num_poses
 + A^3) instead of the dense backend's O(n^3): a block-tridiagonal Cholesky
-`lax.scan` per chain (vmapped over robots), a dense Schur complement on the
-arrow, and two substitution sweeps. Every assembly step is batched matmuls /
-one-hot einsums (MXU work) instead of TPU-hostile scatters; layout
-conversions are pure gathers through host-precomputed permutations.
+via parallel cyclic reduction per chain (vmapped over robots), a dense
+Schur complement on the arrow, and two substitution sweeps. Per-iteration
+assembly is batched matmuls / one-hot einsums (MXU work) plus gathers;
+the only scatters run once per solve in `prepare` (static couplings).
 
-Scope: dim == 2 and no loop closures (callers fall back to the dense
-backend otherwise; both shipped datasets qualify). Numeric values are read
-out of the generic :class:`ConicProblem` row encoding through static index
-maps, so a vmapped batch of problems (Monte-Carlo trials) shares one
-structure.
+Arrow column layout (host-chosen, static):
+
+    [ landmarks | range-cover translations | loop-cover translations
+      | loop-cover rotations ]
+
+so every range-relevant column lives in a contiguous leading "translation
+zone" of NTB d-wide sites — the W-dependent per-iteration range
+elimination stays a dense block formulation over that prefix, while
+loop-closure/odometry spill (static, W-independent) lands anywhere in the
+(A, A) arrow via one-off scatters.
+
+Scope: 2D and 3D, with loop closures (a loop edge is kept out of the
+chain band by moving one endpoint's whole pose block into the arrow —
+the same vertex-cover mechanism as inter-robot ranges, width D instead
+of width d). Numeric values are read out of the generic
+:class:`ConicProblem` row encoding through static index maps, so a
+vmapped batch of problems (Monte-Carlo trials) shares one structure.
 
 Replaces (with exact arithmetic, not approximation) the sparse-Cholesky
 work Gurobi's barrier performs inside the reference's `model.optimize()`
-(/root/reference/score/solve_score.py:76).
+(/root/reference/score/solve_score.py:76); loop-closure and 3D cost
+semantics follow gurobi_utils.py:407-430 and :37-50.
 """
 
 from __future__ import annotations
@@ -48,9 +61,14 @@ from score_tpu.assembly.conic import (
 )
 from score_tpu.solver.linops import G_apply
 from score_tpu.solver.pcr import PCRFactors, pcr_factor, pcr_pad_length, pcr_solve
-from score_tpu.solver.smallblocks import chol_small, tri_lower_solve, tri_upper_solve
+from score_tpu.solver.smallblocks import inv_small_spd
 
-__all__ = ["ChainArrowStructure", "build_chain_arrow", "ChainArrowBackend"]
+__all__ = [
+    "ChainArrowStructure",
+    "build_chain_arrow",
+    "ChainArrowBackend",
+    "MixedChainArrowBackend",
+]
 
 
 # ------------------------------------------------------------------ #
@@ -65,21 +83,25 @@ class ChainArrowStructure:
 
     One structure serves every numeric instance (Monte-Carlo batch) of the
     same graph. Canonical "struct" layout of x: [pose slots (C*T*D) |
-    landmarks (NL*d) | distances (NR*ds)]; the arrow is an assembly-side
-    grouping (landmark blocks then arrow-pose translation blocks)."""
+    landmarks (NL*d) | distances (NR*ds)]."""
 
-    # chain layout
+    # residency maps
     cm: jax.Array  # (C, T, D) chain-active column mask
-    av: jax.Array  # (C, T, D) arrow-resident column mask (translations)
+    av: jax.Array  # (C, T, D) arrow-resident column mask
+    arrow_col: jax.Array  # (C, T, D) int32 arrow column of entry, A = none
+    arrow_src: jax.Array  # (A,) int32 into [slots.flat | landmarks.flat]
     x_to_chain: jax.Array  # (C, T, D) gather: padded x -> pose slots
     x_to_lm: jax.Array  # (NL, d) gather: x -> landmark cols
     x_to_dist: jax.Array  # (NR, ds)
     struct_to_x: jax.Array  # (n,) gather from flat struct -> x
-    oh_slot_arrow: jax.Array  # (C*T, NAb) arrow block of each slot's trans
     # odometry rows
     odom_row_base: jax.Array  # (C, T-1) int32 (clamped; *_valid masks pads)
     odom_valid: jax.Array  # (C, T-1)
-    odom_local_onehot: jax.Array  # (D_rows, nnz, 13)
+    odom_local_onehot: jax.Array  # (D_rows, nnz, 2D+1)
+    # loop closures
+    loop_row_base: jax.Array  # (NLC,) int32
+    loop_slot_i: jax.Array  # (NLC,) int32 flat slot (c*T + t)
+    loop_slot_j: jax.Array  # (NLC,) int32
     # ranges
     range_row_base: jax.Array  # (NR,) int32
     end_a_cols: jax.Array  # (NR, d) x cols of endpoint-a translation
@@ -90,38 +112,47 @@ class ChainArrowStructure:
     oh_lm_b: jax.Array  # (NR, NL)
     oh_chain_a: jax.Array  # (NR, C*T) pose endpoints resident in the CHAIN
     oh_chain_b: jax.Array  # (NR, C*T)
-    oh_arrow_a: jax.Array  # (NR, NAb) endpoints resident in the ARROW
-    oh_arrow_b: jax.Array  # (NR, NAb)
+    oh_arrow_a: jax.Array  # (NR, NTB) endpoint translation-zone site
+    oh_arrow_b: jax.Array  # (NR, NTB)
     # priors
-    prior_diag_sites: jax.Array  # (NPp,) int32 arrow block of each prior
+    prior_diag_sites: jax.Array  # (NPp,) int32 landmark site of each prior
     prior_row_base: jax.Array  # (NPp,) int32
-    # pinning
-    arrow_active: jax.Array  # (A,) 1.0 on active arrow cols
     # statics
     C: int = dataclasses.field(metadata=dict(static=True))
     T: int = dataclasses.field(metadata=dict(static=True))
     D: int = dataclasses.field(metadata=dict(static=True))
     d: int = dataclasses.field(metadata=dict(static=True))
     NL: int = dataclasses.field(metadata=dict(static=True))
-    NAb: int = dataclasses.field(metadata=dict(static=True))  # arrow blocks
-    A: int = dataclasses.field(metadata=dict(static=True))  # = NAb * d
+    NTB: int = dataclasses.field(metadata=dict(static=True))  # trans sites
+    A: int = dataclasses.field(metadata=dict(static=True))  # arrow width
     NR: int = dataclasses.field(metadata=dict(static=True))
+    NLC: int = dataclasses.field(metadata=dict(static=True))
     ds: int = dataclasses.field(metadata=dict(static=True))
     relaxation: str = dataclasses.field(metadata=dict(static=True))
 
 
+def _greedy_cover(edges, excluded):
+    """Greedy max-degree vertex cover of `edges`; nodes in `excluded` are
+    treated as already covered (e.g. the pinned pose: all its entries are
+    frozen, so its couplings vanish and the edge needs no arrow node)."""
+    degree: dict = {}
+    for a, b in edges:
+        degree[a] = degree.get(a, 0) + 1
+        degree[b] = degree.get(b, 0) + 1
+    cover = set()
+    for a, b in sorted(edges, key=lambda e: -(degree[e[0]] + degree[e[1]])):
+        if a in excluded or b in excluded:
+            continue
+        if a not in cover and b not in cover:
+            cover.add(a if degree[a] >= degree[b] else b)
+    return cover
+
+
 def build_chain_arrow(
-    problem: ConicProblem, idx: VariableIndex, num_loop_closures: int = 0
+    problem: ConicProblem, idx: VariableIndex
 ) -> ChainArrowStructure:
     """Host-side (numpy) structure analysis."""
     d = idx.dim
-    if d != 2:
-        raise NotImplementedError("chain-arrow backend currently supports 2D")
-    if num_loop_closures:
-        raise NotImplementedError(
-            "chain-arrow backend does not support loop closures yet; "
-            "use the dense backend"
-        )
     D = idx.pose_block
     C = len(idx.chain_lengths)
     T = max(idx.chain_lengths)
@@ -139,50 +170,88 @@ def build_chain_arrow(
     name_to_pose = {nm: i for i, nm in enumerate(idx.pose_names)}
     name_to_lm = {nm: i for i, nm in enumerate(idx.landmark_names)}
 
-    # Arrow poses: a VERTEX COVER of the pose-pose range graph. A range
-    # edge only needs ONE endpoint in the arrow — the other side stays
-    # chain-resident and couples through B exactly like a pose-landmark
-    # edge. Greedy max-degree cover roughly halves the arrow width (and
-    # the dominant A^2/A^3 factor cost) vs taking every endpoint.
-    pp_edges = []
-    degree: dict = {}
-    for (a, b) in idx.dist_keys:
-        if a in name_to_pose and b in name_to_pose:
-            pa, pb = name_to_pose[a], name_to_pose[b]
-            pp_edges.append((pa, pb))
-            degree[pa] = degree.get(pa, 0) + 1
-            degree[pb] = degree.get(pb, 0) + 1
-    arrow_pose_set = set()
-    for pa, pb in sorted(
-        pp_edges, key=lambda e: -(degree[e[0]] + degree[e[1]])
-    ):
-        if pa not in arrow_pose_set and pb not in arrow_pose_set:
-            arrow_pose_set.add(pa if degree[pa] >= degree[pb] else pb)
-    arrow_poses = sorted(arrow_pose_set)
-    NAb = NL + len(arrow_poses)
-    NAb_eff = max(NAb, 1)
-    A = NAb_eff * d
-    arrow_block_of_pose = {p: NL + i for i, p in enumerate(arrow_poses)}
-
     pin_cols = set(int(v) for v in np.asarray(problem.pin_idx))
+    pinned_poses = {
+        col // D for col in pin_cols if col < idx.landmark_offset
+    }
+    fully_pinned = {
+        p
+        for p in pinned_poses
+        if all(p * D + k in pin_cols for k in range(D))
+    }
 
+    # --- loop-closure cover: one endpoint's WHOLE pose into the arrow ---
+    loop_pairs = [
+        (name_to_pose[a], name_to_pose[b]) for (a, b) in idx.loop_pairs
+    ]
+    loop_cover = _greedy_cover(loop_pairs, fully_pinned)
+
+    # --- range cover: one endpoint's TRANSLATION into the arrow -------
+    # (loop-cover poses already have their translation in the arrow)
+    pp_edges = [
+        (name_to_pose[a], name_to_pose[b])
+        for (a, b) in idx.dist_keys
+        if a in name_to_pose and b in name_to_pose
+    ]
+    range_cover = _greedy_cover(
+        [e for e in pp_edges
+         if e[0] not in loop_cover and e[1] not in loop_cover],
+        fully_pinned | loop_cover,
+    )
+    range_cover -= loop_cover
+
+    # --- arrow layout ---------------------------------------------------
+    rc_poses = sorted(range_cover)
+    lp_poses = sorted(loop_cover)
+    NRC, NLP = len(rc_poses), len(lp_poses)
+    NTB = NL + NRC + NLP
+    tz = NTB * d
+    A = tz + NLP * d * d
+    A_eff = max(A, 1)
+    # translation-zone site of each arrow pose
+    tsite_of_pose = {p: NL + i for i, p in enumerate(rc_poses)}
+    tsite_of_pose.update({p: NL + NRC + i for i, p in enumerate(lp_poses)})
+    rotbase_of_pose = {p: tz + i * d * d for i, p in enumerate(lp_poses)}
+
+    # --- residency maps ---------------------------------------------------
     cm = np.zeros((C, T, D))
     av = np.zeros((C, T, D))
+    arrow_col = np.full((C, T, D), A_eff, dtype=np.int64)
     x_to_chain = np.full((C, T, D), n, dtype=np.int64)
-    oh_slot_arrow = np.zeros((C * T, NAb_eff))
+    arrow_src = np.full((A_eff,), C * T * D + NL * d, dtype=np.int64)  # pad
     for g, (c, t) in pose_cpos.items():
         base = g * D
         cols = np.arange(base, base + D)
         x_to_chain[c, t] = cols
         cm[c, t] = 1.0
-        if g in arrow_block_of_pose:
+        slot_flat = (c * T + t) * D
+        if g in loop_cover:
+            cm[c, t] = 0.0
+            av[c, t] = 1.0
+            for k in range(d * d):
+                a = rotbase_of_pose[g] + k
+                arrow_col[c, t, k] = a
+                arrow_src[a] = slot_flat + k
+            for r in range(d):
+                a = tsite_of_pose[g] * d + r
+                arrow_col[c, t, d * d + r] = a
+                arrow_src[a] = slot_flat + d * d + r
+        elif g in range_cover:
             cm[c, t, d * d :] = 0.0
             av[c, t, d * d :] = 1.0
-            oh_slot_arrow[c * T + t, arrow_block_of_pose[g]] = 1.0
+            for r in range(d):
+                a = tsite_of_pose[g] * d + r
+                arrow_col[c, t, d * d + r] = a
+                arrow_src[a] = slot_flat + d * d + r
         for k_, col in enumerate(cols):
             if col in pin_cols:
                 cm[c, t, k_] = 0.0
                 av[c, t, k_] = 0.0
+                arrow_col[c, t, k_] = A_eff
+    for l in range(NL):
+        for r in range(d):
+            a = l * d + r
+            arrow_src[a] = C * T * D + l * d + r
 
     x_to_lm = np.stack(
         [np.asarray(idx.landmark_cols(l), dtype=np.int64) for l in range(NL)]
@@ -204,17 +273,10 @@ def build_chain_arrow(
     for flat_pos, xcol in enumerate(x_to_dist.reshape(-1)):
         struct_to_x[xcol] = off + flat_pos
 
-    # arrow activity (pin can in principle hit an arrow pose)
-    arrow_active = np.ones((A,))
-    for i, p in enumerate(arrow_poses):
-        blk = NL + i
-        for r in range(d):
-            if p * D + d * d + r in pin_cols:
-                arrow_active[blk * d + r] = 0.0
-
-    # cost-row bases (row emission order: odometry chains flattened, loop
-    # closures (none here), ranges, landmark priors — assembly/conic.py)
+    # --- cost-row bases (emission order: odometry chains flattened, loop
+    # closures, ranges, landmark priors — assembly/conic.py) -------------
     rows_per_edge = d * d + d
+    NLC = len(loop_pairs)
     odom_row_base = np.zeros((C, max(T - 1, 1)), dtype=np.int64)
     odom_valid = np.zeros((C, max(T - 1, 1)))
     e = 0
@@ -223,7 +285,15 @@ def build_chain_arrow(
             odom_row_base[c, t] = e * rows_per_edge
             odom_valid[c, t] = 1.0
             e += 1
-    range_rows_start = e * rows_per_edge
+    loop_row_base = (e + np.arange(NLC, dtype=np.int64)) * rows_per_edge
+    loop_slot_i = np.zeros((NLC,), dtype=np.int64)
+    loop_slot_j = np.zeros((NLC,), dtype=np.int64)
+    for m, (pi, pj) in enumerate(loop_pairs):
+        ci, ti = pose_cpos[pi]
+        cj, tj = pose_cpos[pj]
+        loop_slot_i[m] = ci * T + ti
+        loop_slot_j[m] = cj * T + tj
+    range_rows_start = (e + NLC) * rows_per_edge
     rows_per_range = 1 if idx.relaxation == SOCP_RELAXATION else d
     range_row_base = range_rows_start + np.arange(NR, dtype=np.int64) * rows_per_range
     prior_rows_start = range_rows_start + NR * rows_per_range
@@ -235,7 +305,7 @@ def build_chain_arrow(
         col = int(cost_cols_np[prior_row_base[j], 0])
         prior_diag_sites[j] = (col - idx.landmark_offset) // d
 
-    # range endpoint maps
+    # --- range endpoint maps ---------------------------------------------
     end_a_cols = np.full((NR, d), n, dtype=np.int64)
     end_b_cols = np.full((NR, d), n, dtype=np.int64)
     oh_pose_a = np.zeros((NR, C * T))
@@ -244,8 +314,8 @@ def build_chain_arrow(
     oh_lm_b = np.zeros((NR, max(NL, 1)))
     oh_chain_a = np.zeros((NR, C * T))
     oh_chain_b = np.zeros((NR, C * T))
-    oh_arrow_a = np.zeros((NR, NAb_eff))
-    oh_arrow_b = np.zeros((NR, NAb_eff))
+    oh_arrow_a = np.zeros((NR, max(NTB, 1)))
+    oh_arrow_b = np.zeros((NR, max(NTB, 1)))
     for m, (a, b) in enumerate(idx.dist_keys):
         for name, ec, ohp, ohl, ohc, oha in (
             (a, end_a_cols, oh_pose_a, oh_lm_a, oh_chain_a, oh_arrow_a),
@@ -262,28 +332,28 @@ def build_chain_arrow(
                 p = name_to_pose[name]
                 c, t = pose_cpos[p]
                 ohp[m, c * T + t] = 1.0
-                if p in arrow_block_of_pose:
-                    oha[m, arrow_block_of_pose[p]] = 1.0
+                if p in tsite_of_pose:
+                    oha[m, tsite_of_pose[p]] = 1.0
                 else:
                     ohc[m, c * T + t] = 1.0
 
-    # odometry local-position one-hot (static pattern from assembly/conic:
-    # local pose layout col-major [R00,R10,R01,R11,t0,t1], pose_i at 0..5,
-    # pose_j at 6..11, slot 12 = trash for padding)
+    # --- relative-pose local-position one-hot (static pattern from
+    # assembly/conic: local pose layout col-major [R | t], pose_i at
+    # 0..D-1, pose_j at D..2D-1, slot 2D = trash for padding) -----------
     nnz = int(problem.cost_cols.shape[1])
-    local_pos = np.full((rows_per_edge, nnz), 12, dtype=np.int64)
+    local_pos = np.full((rows_per_edge, nnz), 2 * D, dtype=np.int64)
     for c in range(d):
         for r in range(d):
             row = c * d + r
             local_pos[row, 0] = D + c * d + r
-            local_pos[row, 1] = 0 * d + r
-            local_pos[row, 2] = 1 * d + r
+            for kk in range(d):
+                local_pos[row, 1 + kk] = kk * d + r
     for r in range(d):
         row = d * d + r
         local_pos[row, 0] = D + d * d + r
         local_pos[row, 1] = d * d + r
-        local_pos[row, 2] = 0 * d + r
-        local_pos[row, 3] = 1 * d + r
+        for kk in range(d):
+            local_pos[row, 2 + kk] = kk * d + r
     odom_local_onehot = np.zeros((rows_per_edge, nnz, 2 * D + 1))
     for row in range(rows_per_edge):
         for jj in range(nnz):
@@ -300,14 +370,18 @@ def build_chain_arrow(
     return ChainArrowStructure(
         cm=farr(cm),
         av=farr(av),
+        arrow_col=iarr(arrow_col),
+        arrow_src=iarr(arrow_src),
         x_to_chain=iarr(x_to_chain),
         x_to_lm=iarr(x_to_lm),
         x_to_dist=iarr(x_to_dist),
         struct_to_x=iarr(struct_to_x),
-        oh_slot_arrow=farr(oh_slot_arrow),
         odom_row_base=iarr(odom_row_base),
         odom_valid=farr(odom_valid),
         odom_local_onehot=farr(odom_local_onehot),
+        loop_row_base=iarr(loop_row_base),
+        loop_slot_i=iarr(loop_slot_i),
+        loop_slot_j=iarr(loop_slot_j),
         range_row_base=iarr(range_row_base),
         end_a_cols=iarr(end_a_cols),
         end_b_cols=iarr(end_b_cols),
@@ -321,9 +395,8 @@ def build_chain_arrow(
         oh_arrow_b=farr(oh_arrow_b),
         prior_diag_sites=iarr(prior_diag_sites),
         prior_row_base=iarr(prior_row_base),
-        arrow_active=farr(arrow_active),
-        C=C, T=T, D=D, d=d, NL=NL, NAb=NAb_eff, A=A, NR=NR, ds=ds,
-        relaxation=idx.relaxation,
+        C=C, T=T, D=D, d=d, NL=NL, NTB=NTB, A=A_eff, NR=NR, NLC=NLC,
+        ds=ds, relaxation=idx.relaxation,
     )
 
 
@@ -346,10 +419,13 @@ class CAState(NamedTuple):
     edge_ii: jnp.ndarray  # (C, T-1, D, D) odometry edge blocks (P side)
     edge_ij: jnp.ndarray
     edge_jj: jnp.ndarray
+    loop_ii: jnp.ndarray  # (NLC, D, D) loop-closure edge blocks
+    loop_ij: jnp.ndarray
+    loop_jj: jnp.ndarray
     D0: jnp.ndarray  # (C, T, D, D) chain diag base (chain-masked)
     U0: jnp.ndarray  # (C, T-1, D, D) chain off-diag (chain-masked)
     B0: jnp.ndarray  # (C, T, D, A) chain-arrow base coupling
-    S0: jnp.ndarray  # (A, A) arrow base (odometry spill + priors)
+    S0: jnp.ndarray  # (A, A) arrow base (odometry/loop spill + priors)
     prior_diag: jnp.ndarray  # (NL*d,) 2*precision on prior landmark cols
     rng_prec: jnp.ndarray  # (NR,)
     rng_dist: jnp.ndarray  # (NR,)
@@ -364,6 +440,11 @@ class CAFactors(NamedTuple):
     wv: jnp.ndarray  # SOCP (NR,d) coupling vectors; QCQP zeros
     Hhat: jnp.ndarray  # (NR, d, d)
     Winv2: jnp.ndarray  # (NR, k, k) NT scalings (for refinement matvecs)
+    # Jacobi column scales of the mixed-precision path (None on the plain
+    # backend): the band factors above hold D K D with unit diagonal,
+    # factored in f32; solves scale in and out in f64.
+    dC: jnp.ndarray = None  # (C, T, D)
+    dA: jnp.ndarray = None  # (A,)
 
 
 def _tri(L, b):
@@ -430,6 +511,20 @@ class ChainArrowBackend:
     # ---------------- prepare ---------------- #
 
     @staticmethod
+    def _edge_blocks(problem, st, row_base):
+        """Relative-pose cost blocks 2 A_loc' diag(w) A_loc from the row
+        encoding; row_base (..., ) gives each edge's first row."""
+        D = st.D
+        row_idx = row_base[..., None] + jnp.arange(D)
+        coefs = problem.cost_coefs[row_idx]  # (..., D, nnz)
+        w = problem.cost_w[row_idx]
+        A_loc = jnp.einsum(
+            "...rj,rjl->...rl", coefs, st.odom_local_onehot
+        )[..., : 2 * D]
+        M = 2.0 * jnp.einsum("...rl,...r,...rm->...lm", A_loc, w, A_loc)
+        return M[..., :D, :D], M[..., :D, D:], M[..., D:, D:]
+
+    @staticmethod
     def prepare(problem: ConicProblem, aux: ChainArrowStructure) -> CAState:
         st = aux
         dtype = problem.cost_coefs.dtype
@@ -450,65 +545,94 @@ class ChainArrowBackend:
             .set(problem.pin_val.astype(dtype))
         )
 
-        # odometry edge blocks M_e = 2 A_loc' diag(w) A_loc (batched matmuls)
-        rows_per_edge = D
-        row_idx = st.odom_row_base[..., None] + jnp.arange(rows_per_edge)
-        coefs = problem.cost_coefs[row_idx]  # (C, T-1, D, nnz)
-        w = problem.cost_w[row_idx]
-        A_loc = jnp.einsum("ctrj,rjl->ctrl", coefs, st.odom_local_onehot)[
-            ..., : 2 * D
-        ]
-        M = 2.0 * jnp.einsum("ctrl,ctr,ctrm->ctlm", A_loc, w, A_loc)
-        M = M * st.odom_valid[..., None, None]
-        edge_ii = M[..., :D, :D]
-        edge_ij = M[..., :D, D:]
-        edge_jj = M[..., D:, D:]
+        # odometry edge blocks (batched matmuls)
+        eii, eij, ejj = ChainArrowBackend._edge_blocks(
+            problem, st, st.odom_row_base
+        )
+        ov = st.odom_valid[..., None, None]
+        edge_ii, edge_ij, edge_jj = eii * ov, eij * ov, ejj * ov
 
-        # split edge blocks by (chain | arrow) column residency
+        # loop-closure edge blocks
+        if st.NLC:
+            loop_ii, loop_ij, loop_jj = ChainArrowBackend._edge_blocks(
+                problem, st, st.loop_row_base
+            )
+        else:
+            z = jnp.zeros((0, D, D), dtype=dtype)
+            loop_ii = loop_ij = loop_jj = z
+
+        cm_f = st.cm.reshape(C * T, D)
+        av_f = st.av.reshape(C * T, D)
+        ac_f = st.arrow_col.reshape(C * T, D)
+
+        # chain-band pieces (dense, einsum-free masks)
         cm_i, cm_j = st.cm[:, :-1], st.cm[:, 1:]
-        av_i, av_j = st.av[:, :-1], st.av[:, 1:]
-        oh = st.oh_slot_arrow.reshape(C, T, st.NAb)
-        oh_i, oh_j = oh[:, :-1], oh[:, 1:]
-
         D0 = jnp.zeros((C, T, D, D), dtype=dtype)
         D0 = D0.at[:, :-1].add(edge_ii * cm_i[..., :, None] * cm_i[..., None, :])
         D0 = D0.at[:, 1:].add(edge_jj * cm_j[..., :, None] * cm_j[..., None, :])
         U0 = edge_ij * cm_i[..., :, None] * cm_j[..., None, :]
 
-        Bfull = jnp.zeros((C, T, D, st.NAb, d), dtype=dtype)
-        S0 = jnp.zeros((st.NAb, d, st.NAb, d), dtype=dtype)
+        # static arrow couplings: scatter once per solve. B0 has a pad
+        # column (index A) and S0 a pad row/col for non-arrow entries.
+        B0p = jnp.zeros((C * T, D, A + 1), dtype=dtype)
+        S0p = jnp.zeros((A + 1, A + 1), dtype=dtype)
 
-        # ordered pairs (u, v): (rows of u) x (cols of v)
-        pairs = (
-            (edge_ii, 0, cm_i, av_i, oh_i, cm_i, av_i, oh_i),
-            (edge_jj, 1, cm_j, av_j, oh_j, cm_j, av_j, oh_j),
-            (edge_ij, 0, cm_i, av_i, oh_i, cm_j, av_j, oh_j),
-            (jnp.swapaxes(edge_ij, -1, -2), 1, cm_j, av_j, oh_j, cm_i, av_i, oh_i),
-        )
-        for (blk, ushift, cmu, avu, ohu, cmv, avv, ohv) in pairs:
-            # chain rows x arrow cols -> B at slot u
-            ca = (blk * cmu[..., :, None] * avv[..., None, :])[..., :, d * d :]
-            contrib = jnp.einsum("ctle,ctb->ctlbe", ca, ohv)
-            if ushift == 0:
-                Bfull = Bfull.at[:, :-1].add(contrib)
-            else:
-                Bfull = Bfull.at[:, 1:].add(contrib)
-            # arrow rows x arrow cols -> S
-            aa = (blk * avu[..., :, None] * avv[..., None, :])[
-                ..., d * d :, d * d :
-            ]
-            S0 = S0 + jnp.einsum("ctij,cta,ctb->aibj", aa, ohu, ohv)
+        def add_coupling(B0p, S0p, D0f, blk, su, sv):
+            """blk (E, D, D): rows at flat slots su, cols at slots sv."""
+            cmu, avu, acu = cm_f[su], av_f[su], ac_f[su]
+            cmv, avv, acv = cm_f[sv], av_f[sv], ac_f[sv]
+            l_idx = jnp.arange(D)[None, :, None]
+            valB = blk * cmu[:, :, None] * avv[:, None, :]
+            B0p = B0p.at[su[:, None, None], l_idx, acv[:, None, :]].add(valB)
+            valS = blk * avu[:, :, None] * avv[:, None, :]
+            S0p = S0p.at[acu[:, :, None], acv[:, None, :]].add(valS)
+            # same-slot chain x chain (loop endpoints; odometry diagonals
+            # are handled densely above, so only call this for loops)
+            if D0f is not None:
+                valD = blk * cmu[:, :, None] * cmv[:, None, :]
+                D0f = D0f.at[su].add(valD)
+            return B0p, S0p, D0f
 
-        B0 = Bfull.reshape(C, T, D, st.NAb * d)[..., :A]
-        S0 = S0.reshape(st.NAb * d, st.NAb * d)[:A, :A]
+        # odometry spill into the arrow (statically skipped when no pose
+        # has arrow residency — e.g. GOATS: robot-landmark ranges only)
+        has_arrow_poses = (st.NTB > st.NL) or st.NLC > 0
+        if has_arrow_poses and T > 1:
+            slots = jnp.arange(C * T).reshape(C, T)
+            si = slots[:, :-1].reshape(-1)
+            sj = slots[:, 1:].reshape(-1)
+            vmask = st.odom_valid.reshape(-1)[:, None, None]
+            bii = (edge_ii.reshape(-1, D, D)) * vmask
+            bij = (edge_ij.reshape(-1, D, D)) * vmask
+            bjj = (edge_jj.reshape(-1, D, D)) * vmask
+            B0p, S0p, _ = add_coupling(B0p, S0p, None, bii, si, si)
+            B0p, S0p, _ = add_coupling(B0p, S0p, None, bjj, sj, sj)
+            B0p, S0p, _ = add_coupling(B0p, S0p, None, bij, si, sj)
+            B0p, S0p, _ = add_coupling(
+                B0p, S0p, None, jnp.swapaxes(bij, -1, -2), sj, si
+            )
 
-        # landmark priors on the arrow diagonal (landmark blocks lead)
+        # loop-closure couplings (cover guarantees no cross-slot
+        # chain x chain term; same-slot chain x chain goes to D0)
+        D0f = D0.reshape(C * T, D, D)
+        if st.NLC:
+            si, sj = st.loop_slot_i, st.loop_slot_j
+            B0p, S0p, D0f = add_coupling(B0p, S0p, D0f, loop_ii, si, si)
+            B0p, S0p, D0f = add_coupling(B0p, S0p, D0f, loop_jj, sj, sj)
+            B0p, S0p, D0f = add_coupling(B0p, S0p, D0f, loop_ij, si, sj)
+            B0p, S0p, D0f = add_coupling(
+                B0p, S0p, D0f, jnp.swapaxes(loop_ij, -1, -2), sj, si
+            )
+        D0 = D0f.reshape(C, T, D, D)
+
+        B0 = B0p[:, :, :A].reshape(C, T, D, A)
+        S0 = S0p[:A, :A]
+
+        # landmark priors on the arrow diagonal (landmark sites lead)
         prior_diag = jnp.zeros((st.NL * d,), dtype=dtype)
         if st.prior_row_base.shape[0] > 0:
             pw = 2.0 * problem.cost_w[st.prior_row_base]  # (NPp,)
-            sites = st.prior_diag_sites  # (NPp,) landmark index
             site_oh = (
-                sites[:, None] == jnp.arange(st.NL)[None, :]
+                st.prior_diag_sites[:, None] == jnp.arange(st.NL)[None, :]
             ).astype(dtype)
             per_lm = jnp.einsum("pl,p->l", site_oh, pw)
             prior_diag = jnp.repeat(per_lm, d)
@@ -541,6 +665,9 @@ class ChainArrowBackend:
             edge_ii=edge_ii,
             edge_ij=edge_ij,
             edge_jj=edge_jj,
+            loop_ii=loop_ii,
+            loop_ij=loop_ij,
+            loop_jj=loop_jj,
             D0=D0,
             U0=U0,
             B0=B0,
@@ -555,7 +682,7 @@ class ChainArrowBackend:
     @staticmethod
     def P_matvec(state: CAState, v):
         st = state.structure
-        d, D = st.d, st.D
+        d = st.d
         vc, vl, vd = ChainArrowBackend._gather(state, v)
 
         # odometry
@@ -569,6 +696,23 @@ class ChainArrowBackend:
         out_c = jnp.zeros_like(vc)
         out_c = out_c.at[:, :-1].add(oi)
         out_c = out_c.at[:, 1:].add(oj)
+
+        # loop closures (few edges: gather endpoints, blocked matvecs,
+        # small scatter-add back)
+        if st.NLC:
+            vflat = vc.reshape(st.C * st.T, st.D)
+            li = vflat[st.loop_slot_i]  # (NLC, D)
+            lj = vflat[st.loop_slot_j]
+            gi = jnp.einsum("elm,em->el", state.loop_ii, li) + jnp.einsum(
+                "elm,em->el", state.loop_ij, lj
+            )
+            gj = jnp.einsum("eml,em->el", state.loop_ij, li) + jnp.einsum(
+                "elm,em->el", state.loop_jj, lj
+            )
+            oflat = jnp.zeros_like(vflat)
+            oflat = oflat.at[st.loop_slot_i].add(gi)
+            oflat = oflat.at[st.loop_slot_j].add(gj)
+            out_c = out_c + oflat.reshape(st.C, st.T, st.D)
 
         # ranges
         out_d = jnp.zeros_like(vd)
@@ -627,32 +771,28 @@ class ChainArrowBackend:
             return kdd, wv, Hhat
         eye = jnp.eye(d, dtype=Winv2.dtype)
         Kdd = 2.0 * (prec * dist**2)[:, None, None] * eye + Winv2[:, 1:, 1:]
-        # closed-form SPD 2x2 inverse (TPU has no f64 LU kernel)
-        a = Kdd[:, 0, 0]
-        b = Kdd[:, 0, 1]
-        c2 = Kdd[:, 1, 1]
-        det = a * c2 - b * b
-        Kdd_inv = (
-            jnp.stack(
-                [jnp.stack([c2, -b], axis=-1), jnp.stack([-b, a], axis=-1)],
-                axis=-2,
-            )
-            / det[:, None, None]
-        )
+        # unrolled small-SPD inverse (no XLA LU/cholesky custom calls,
+        # which are slow or missing for f64 on TPU); dim-agnostic
+        Kdd_inv = inv_small_spd(Kdd)
         c = 2.0 * prec * dist
         Hhat = 2.0 * prec[:, None, None] * eye - (c**2)[:, None, None] * Kdd_inv
         return Kdd_inv, jnp.zeros((st.NR, d), Winv2.dtype), Hhat
 
     @staticmethod
-    def factor(problem: ConicProblem, state: CAState, Winv2, params):
+    def _assemble(problem: ConicProblem, state: CAState, Winv2, params):
+        """W-dependent KKT block assembly (everything except the actual
+        factorization): returns the chain band (Dg, Ug), coupling Bg,
+        arrow Sg (regularized, identity on decoupled padding), the
+        distance-elimination data, and the regularization delta."""
         st = state.structure
         C, T, D, d, A = st.C, st.T, st.D, st.d, st.A
+        tz = st.NTB * d
         dtype = state.q.dtype
 
         kdd, wv, Hhat = ChainArrowBackend._range_elimination(state, Winv2)
 
         Dg = state.D0.reshape(C * T, D, D)
-        Sblk = jnp.zeros((st.NAb, d, st.NAb, d), dtype=dtype)
+        Sblk = jnp.zeros((st.NTB, d, st.NTB, d), dtype=dtype)
         Bg = state.B0
         if st.NR:
             # chain diagonals
@@ -660,11 +800,11 @@ class ChainArrowBackend:
                 "mp,mij->pij", st.oh_chain_a + st.oh_chain_b, Hhat
             )
             Dg = Dg.at[:, d * d :, d * d :].add(diag_c)
-            # arrow diagonals
+            # arrow diagonals (translation-zone sites)
             diag_a = jnp.einsum(
                 "mb,mij->bij", st.oh_arrow_a + st.oh_arrow_b, Hhat
             )
-            iN = jnp.arange(st.NAb)
+            iN = jnp.arange(st.NTB)
             Sblk = Sblk.at[iN, :, iN, :].add(diag_a)
             # arrow-arrow cross (-Hhat both ways)
             cross_aa = jnp.einsum(
@@ -673,24 +813,28 @@ class ChainArrowBackend:
             Sblk = Sblk + cross_aa + jnp.einsum("aibj->bjai", cross_aa)
             # chain-arrow cross terms, factorized into d*d plain matmuls
             # (a direct 'mp,mb,mij->pbij' einsum materializes a
-            # (C*T, NAb, d, d) intermediate — hundreds of MB at Manhattan
-            # scale; each (i, j) slice below is a (CT x NR)(NR x NAb)
+            # (C*T, NTB, d, d) intermediate — hundreds of MB at Manhattan
+            # scale; each (i, j) slice below is a (CT x NR)(NR x NTB)
             # matmul with small intermediates, MXU-friendly). Hhat symmetric.
-            Badd = jnp.zeros((C * T, D, st.NAb, d), dtype=dtype)
+            Badd = jnp.zeros((C * T, D, st.NTB, d), dtype=dtype)
             for i in range(d):
                 for j in range(d):
                     w_ij = -Hhat[:, i, j]
                     cross_ij = (
                         (st.oh_chain_a * w_ij[:, None]).T @ st.oh_arrow_b
                         + (st.oh_chain_b * w_ij[:, None]).T @ st.oh_arrow_a
-                    )  # (C*T, NAb)
+                    )  # (C*T, NTB)
                     Badd = Badd.at[:, d * d + i, :, j].add(cross_ij)
-            Bg = Bg + Badd.reshape(C * T, D, st.NAb * d)[..., :A].reshape(
-                C, T, D, A
+            Bg = Bg.at[..., :tz].add(
+                Badd.reshape(C * T, D, st.NTB * d)[..., :tz].reshape(
+                    C, T, D, tz
+                )
             )
 
         Dg = Dg.reshape(C, T, D, D)
-        Sg = state.S0 + Sblk.reshape(st.NAb * d, st.NAb * d)[:A, :A]
+        Sg = state.S0.at[:tz, :tz].add(
+            Sblk.reshape(st.NTB * d, st.NTB * d)[:tz, :tz]
+        )
 
         # masks, pin fill, regularization
         cm = st.cm
@@ -700,13 +844,21 @@ class ChainArrowBackend:
         iD = jnp.arange(D)
         Dg = Dg.at[..., iD, iD].add(delta * cm + (1.0 - cm))
         Ug = state.U0 * cm[:, :-1, :, None] * cm[:, 1:, None, :]
-        act = st.arrow_active
-        Bg = Bg * cm[..., :, None] * act[None, None, None, :]
-        Sg = Sg * act[:, None] * act[None, :]
-        Sg = Sg + jnp.diag(delta * act + (1.0 - act))
+        Bg = Bg * cm[..., :, None]
+        # decoupled-identity rows for padding when the arrow is a dummy
+        inactive = jnp.all(Sg == 0.0, axis=0) & jnp.all(Sg == 0.0, axis=1)
+        Sg = Sg + jnp.diag(
+            jnp.where(inactive, 1.0, delta).astype(dtype)
+        )
+        return Dg, Ug, Bg, Sg, kdd, wv, Hhat, delta
 
-        # block-tridiagonal factorization per chain via parallel cyclic
-        # reduction (log-depth, level-batched — see solver/pcr.py)
+    @staticmethod
+    def _factor_band(st, Dg, Ug, Bg, Sg, delta, params):
+        """Block-tridiagonal factorization per chain via parallel cyclic
+        reduction (log-depth, level-batched — see solver/pcr.py) plus the
+        dense arrow Schur complement."""
+        C, T, D, A = st.C, st.T, st.D, st.A
+        dtype = Dg.dtype
         Tp = pcr_pad_length(T)
         Dp = jnp.broadcast_to(
             jnp.eye(D, dtype=dtype), (C, Tp, D, D)
@@ -725,8 +877,20 @@ class ChainArrowBackend:
             lambda: LS1,
             lambda: jnp.linalg.cholesky(
                 Sg
-                + jnp.eye(A, dtype=dtype) * (params.reg_escalation * delta)
+                + jnp.eye(A, dtype=dtype)
+                * (params.reg_escalation * delta).astype(dtype)
             ),
+        )
+        return pcrf, Bp, Z, LS
+
+    @staticmethod
+    def factor(problem: ConicProblem, state: CAState, Winv2, params):
+        st = state.structure
+        Dg, Ug, Bg, Sg, kdd, wv, Hhat, delta = ChainArrowBackend._assemble(
+            problem, state, Winv2, params
+        )
+        pcrf, Bp, Z, LS = ChainArrowBackend._factor_band(
+            st, Dg, Ug, Bg, Sg, delta, params
         )
         return CAFactors(
             pcr=pcrf, B=Bp, Z=Z, LS=LS, kdd=kdd, wv=wv, Hhat=Hhat,
@@ -738,12 +902,13 @@ class ChainArrowBackend:
     @staticmethod
     def solve(problem: ConicProblem, state: CAState, factors: CAFactors,
               rhs, params):
+        """Solve K dx = rhs through the structured factorization, with
+        optional inner iterative-refinement passes against the true
+        K = P + G'W^{-2}G via structured matvecs (params.kkt_refine_steps;
+        the outer solver's direction-level refinement subsumes this to
+        first order)."""
         dx = ChainArrowBackend._solve_once(problem, state, factors, rhs)
         for _ in range(params.kkt_refine_steps):
-            # refinement against the true K = P + G'W^{-2}G via structured
-            # matvecs — recovers digits lost to roundoff in the (exact but
-            # finite-precision) elimination, which matters on TPU where f64
-            # is emulated.
             Gv = G_apply(problem, dx)
             Kdx = ChainArrowBackend.P_matvec(state, dx) + ChainArrowBackend.GT(
                 problem, state, jnp.einsum("mij,mj->mi", factors.Winv2, Gv)
@@ -753,6 +918,31 @@ class ChainArrowBackend:
                 problem, state, factors, resid
             )
         return dx
+
+    @staticmethod
+    def _band_solve(st, factors: CAFactors, rc, ra):
+        """Solve the chain+arrow band system
+            [T B; B' S][x; u] = [rc; ra]  =>
+            w = T^{-1} rc,  u = Stilde^{-1}(ra - B' w),  x = w - T^{-1}B u.
+        With mixed-precision factors (factors.dC set), the system held is
+        the Jacobi-equilibrated D K D in f32: scale the rhs in, solve in
+        f32, scale the solution out in the rhs dtype."""
+        C, T, D = st.C, st.T, st.D
+        out_dtype = rc.dtype
+        if factors.dC is not None:
+            rc = (rc * factors.dC).astype(factors.B.dtype)
+            ra = (ra * factors.dA).astype(factors.B.dtype)
+        dtype = rc.dtype
+        Tp = factors.B.shape[1]
+        rp = jnp.zeros((C, Tp, D, 1), dtype=dtype).at[:, :T].set(rc[..., None])
+        w = jax.vmap(pcr_solve)(factors.pcr, rp)[..., 0]  # (C, Tp, D)
+        ra_schur = ra - jnp.einsum("ctia,cti->a", factors.B, w)
+        u = _tri_T(factors.LS, _tri(factors.LS, ra_schur))
+        dxc = (w - jnp.einsum("ctia,a->cti", factors.Z, u))[:, :T]
+        if factors.dC is not None:
+            dxc = dxc.astype(out_dtype) * factors.dC
+            u = u.astype(out_dtype) * factors.dA
+        return dxc, u
 
     @staticmethod
     def _solve_once(problem: ConicProblem, state: CAState,
@@ -776,36 +966,24 @@ class ChainArrowBackend:
             vc = vc + dc
             vl = vl + dl
 
-        # split into chain rhs and arrow rhs
+        # split into chain rhs and arrow rhs: each arrow column's rhs is
+        # a single gather from its (unique) source entry
         rc = vc * st.cm
-        spill = (vc * st.av)[:, :, d * d :].reshape(C * T, d)
-        ra_blocks = jnp.zeros((st.NAb, d), dtype=dtype)
-        ra_blocks = ra_blocks.at[: st.NL].set(vl)
-        ra_blocks = ra_blocks + jnp.einsum(
-            "pb,pi->bi", st.oh_slot_arrow, spill
+        combined = jnp.concatenate(
+            [vc.reshape(-1), vl.reshape(-1), jnp.zeros((1,), dtype=dtype)]
         )
-        ra = ra_blocks.reshape(-1)[:A] * st.arrow_active
+        ra = combined[st.arrow_src]
 
-        # chain solve (PCR), arrow Schur solve, recombination:
-        #   [T B; B' S][x; u] = [r; ra]  =>
-        #   w = T^{-1} r,  u = Stilde^{-1}(ra - B' w),  x = w - T^{-1}B u
-        Tp = factors.B.shape[1]
-        rp = jnp.zeros((C, Tp, D, 1), dtype=dtype).at[:, :T].set(rc[..., None])
-        w = jax.vmap(pcr_solve)(factors.pcr, rp)[..., 0]  # (C, Tp, D)
-        ra_schur = ra - jnp.einsum("ctia,cti->a", factors.B, w)
-        u = _tri_T(factors.LS, _tri(factors.LS, ra_schur))
-        dxc = (w - jnp.einsum("ctia,a->cti", factors.Z, u))[:, :T]
+        # chain solve (PCR), arrow Schur solve, recombination
+        dxc, u = ChainArrowBackend._band_solve(st, factors, rc, ra)
 
-        # recompose full pose slots: chain part + arrow-resident translations
-        u_blocks = jnp.concatenate(
-            [u, jnp.zeros((st.NAb * d - A,), dtype=dtype)]
-        ).reshape(st.NAb, d)
-        arrow_tr = jnp.einsum("pb,bi->pi", st.oh_slot_arrow, u_blocks)
-        dx_full = dxc * st.cm
-        dx_full = dx_full.reshape(C * T, D).at[:, d * d :].add(
-            arrow_tr * st.av[:, :, d * d :].reshape(C * T, d)
-        ).reshape(C, T, D)
-        dxl = u_blocks[: st.NL]
+        # recompose full pose slots: chain part + arrow-resident entries
+        # (one gather through the entry -> arrow-column map)
+        u_pad = jnp.concatenate([u, jnp.zeros((1,), dtype=dtype)])
+        dx_full = dxc * st.cm + u_pad[st.arrow_col] * st.av
+        dxl = u[: st.NL * d].reshape(st.NL, d) if st.NL else jnp.zeros(
+            (0, d), dtype=dtype
+        )
 
         # back-substitute distances
         if st.NR:
@@ -829,7 +1007,72 @@ class ChainArrowBackend:
 
         return ChainArrowBackend._to_x(state, dx_full, dxl, dd)
 
-        # NOTE: the factorization here is an EXACT multifrontal elimination
-        # (up to the tiny static regularization delta), so the iterative
-        # refinement used by the dense backend is unnecessary;
-        # params.kkt_refine_steps is intentionally ignored.
+
+# ------------------------------------------------------------------ #
+# Mixed precision
+# ------------------------------------------------------------------ #
+
+
+class MixedChainArrowBackend(ChainArrowBackend):
+    """Mixed-precision chain+arrow backend: the W-dependent KKT blocks are
+    assembled (and Jacobi-equilibrated) in f64, the band factorization and
+    its triangular/cyclic-reduction solves run in f32 (native TPU
+    arithmetic — the emulated-f64 path is ~an order of magnitude slower
+    per op), and the operators, residuals, and iterative refinement stay
+    in f64. The equilibration D = diag(K)^{-1/2} is what makes the f32
+    factorization usable at GOATS-grade conditioning (raw kappa(K) exceeds
+    1/eps_f32 through the weight spread alone; the scaled system's kappa
+    is structural only), and one f64 refinement pass per KKT solve plus
+    the solver's direction-level refinement recovers the dropped digits —
+    realizing the ``precision="mixed"`` policy promised by
+    :class:`score_tpu.solver.params.ScoreSolverParams`.
+    """
+
+    @staticmethod
+    def factor(problem: ConicProblem, state: CAState, Winv2, params):
+        st = state.structure
+        Dg, Ug, Bg, Sg, kdd, wv, Hhat, delta = ChainArrowBackend._assemble(
+            problem, state, Winv2, params
+        )
+        iD = jnp.arange(st.D)
+        dC = 1.0 / jnp.sqrt(Dg[..., iD, iD])  # (C, T, D); masked entries
+        dA = 1.0 / jnp.sqrt(jnp.diag(Sg))  # hold identity fill > 0
+        Dg = Dg * dC[..., :, None] * dC[..., None, :]
+        if st.T > 1:
+            Ug = Ug * dC[:, :-1, :, None] * dC[:, 1:, None, :]
+        Bg = Bg * dC[..., :, None] * dA[None, None, None, :]
+        Sg = Sg * dA[:, None] * dA[None, :]
+        f32 = jnp.float32
+        pcrf, Bp, Z, LS = ChainArrowBackend._factor_band(
+            st,
+            Dg.astype(f32),
+            Ug.astype(f32),
+            Bg.astype(f32),
+            Sg.astype(f32),
+            delta,
+            params,
+        )
+        return CAFactors(
+            pcr=pcrf, B=Bp, Z=Z, LS=LS, kdd=kdd, wv=wv, Hhat=Hhat,
+            Winv2=Winv2, dC=dC, dA=dA,
+        )
+
+    @staticmethod
+    def solve(problem: ConicProblem, state: CAState, factors: CAFactors,
+              rhs, params):
+        # identical flow to the base backend (the f32 scaling lives inside
+        # _band_solve via factors.dC/dA), but with at least one f64
+        # refinement pass against the true K — mandatory here because the
+        # f32 band solve alone is only good to ~eps_f32.
+        dx = ChainArrowBackend._solve_once(problem, state, factors, rhs)
+        for _ in range(max(params.kkt_refine_steps, 1)):
+            Gv = G_apply(problem, dx)
+            Kdx = ChainArrowBackend.P_matvec(state, dx) + ChainArrowBackend.GT(
+                problem, state,
+                jnp.einsum("mij,mj->mi", factors.Winv2, Gv),
+            )
+            resid = state.mask * (rhs - Kdx)
+            dx = dx + ChainArrowBackend._solve_once(
+                problem, state, factors, resid
+            )
+        return dx

@@ -1,7 +1,8 @@
 """Chain+arrow structured KKT backend: exact parity with the dense backend
 on operators, KKT solves, and full IPM solves — including arrow poses
-(pose-pose ranges), pinned arrow poses, multi-robot chains of unequal
-length, and both relaxations."""
+(pose-pose ranges), loop closures (width-D arrow blocks), 3D graphs,
+pinned/frozen endpoints, multi-robot chains of unequal length, and both
+relaxations."""
 
 import numpy as np
 import pytest
@@ -26,6 +27,77 @@ def rng():
     return np.random.default_rng(11)
 
 
+def small_graph_3d(rng, num_poses=6, with_loop=True):
+    """Synthetic SE(3) chain with landmarks, ranges, and a loop closure."""
+    from score_tpu.fg import (
+        FactorGraphData,
+        FGRangeMeasurement,
+        LandmarkVariable3D,
+        PoseMeasurement3D,
+        PoseVariable3D,
+    )
+    from score_tpu.utils.matrix import (
+        get_random_rotation_matrix,
+        round_to_special_orthogonal,
+    )
+
+    fg = FactorGraphData(dimension=3)
+    R = np.eye(3)
+    t = np.zeros(3)
+    poses = []
+    for i in range(num_poses):
+        fg.add_pose_variable(PoseVariable3D(f"A{i}", tuple(t), R.copy()))
+        poses.append((R.copy(), t.copy()))
+        dR = round_to_special_orthogonal(
+            0.15 * get_random_rotation_matrix(3, np.random.default_rng(50 + i))
+            + 0.85 * np.eye(3)
+        )
+        t = t + R @ np.array([1.0, 0.15, -0.1])
+        R = R @ dR
+    fg.add_landmark_variable(LandmarkVariable3D("L0", (2.0, 1.0, 0.5)))
+    for i in range(num_poses - 1):
+        Ri, ti = poses[i]
+        Rj, tj = poses[i + 1]
+        fg.add_odom_measurement(
+            PoseMeasurement3D(
+                f"A{i}", f"A{i+1}",
+                Ri.T @ (tj - ti) + rng_local(rng, 0.01),
+                Ri.T @ Rj,
+                translation_precision=60.0,
+                rotation_precision=150.0,
+            )
+        )
+    if with_loop:
+        Ri, ti = poses[1]
+        Rj, tj = poses[num_poses - 1]
+        fg.loop_closure_measurements.append(
+            PoseMeasurement3D(
+                "A1", f"A{num_poses-1}",
+                Ri.T @ (tj - ti) + rng_local(rng, 0.02),
+                Ri.T @ Rj,
+                translation_precision=30.0,
+                rotation_precision=70.0,
+            )
+        )
+    for i in range(num_poses):
+        d = float(np.linalg.norm(poses[i][1] - np.array([2.0, 1.0, 0.5])))
+        fg.add_range_measurement(
+            FGRangeMeasurement((f"A{i}", "L0"), d + abs(rng.normal(0, 0.05)), 0.4)
+        )
+    fg.add_range_measurement(
+        FGRangeMeasurement(
+            ("A1", f"A{num_poses-1}"),
+            float(np.linalg.norm(poses[1][1] - poses[-1][1])) + 0.05,
+            0.8,
+        )
+    )
+    return fg
+
+
+def rng_local(rng, s):
+    return rng.normal(0, s, 3)
+
+
 def graphs(rng):
     g1 = small_graph(rng, loop=False)  # chain + landmarks + pose-pose range
     g2 = simulate_manhattan_world(
@@ -40,7 +112,21 @@ def graphs(rng):
             seed=4,
         )
     )
-    return [("single+ppr", g1), ("3robot", g2)]
+    # loop closure touching the PINNED pose (frozen endpoint: coupling
+    # must drop structurally) plus one between free poses (arrow block)
+    g3 = small_graph(rng, loop=True)
+    g3.loop_closure_measurements.append(
+        type(g3.loop_closure_measurements[0])(
+            "A1", "A4", 2.9, 0.05, 0.3, 20.0, 60.0
+        )
+    )
+    g4 = small_graph_3d(rng)  # 3D with loop closure + pose-pose range
+    return [
+        ("single+ppr", g1),
+        ("3robot", g2),
+        ("loops", g3),
+        ("3d+loop", g4),
+    ]
 
 
 def interior(rng, N, k):
@@ -118,12 +204,29 @@ class TestOperatorParity:
             ), label
 
 
-class TestGuards:
-    def test_rejects_loop_closures(self, rng):
+class TestLoopClosureStructure:
+    def test_loop_cover_builds_width_D_arrow(self, rng):
         fg = small_graph(rng, loop=True)
+        fg.loop_closure_measurements.append(
+            type(fg.loop_closure_measurements[0])(
+                "A1", "A4", 2.9, 0.05, 0.3, 20.0, 60.0
+            )
+        )
         problem, idx = build_conic_problem(fg, SOCP_RELAXATION)
-        with pytest.raises(NotImplementedError):
-            build_chain_arrow(problem, idx, num_loop_closures=1)
+        ca = build_chain_arrow(problem, idx)
+        assert ca.NLC == 2
+        # the (A1, A4) loop needs one full-pose arrow block (D = d(d+1));
+        # the (A0, A5) loop touches the pinned pose and needs none
+        d = idx.dim
+        assert ca.A >= ca.NTB * d + d * d
+
+    def test_pinned_endpoint_loop_needs_no_arrow(self, rng):
+        fg = small_graph(rng, loop=True)  # single loop (A0=pinned, A5)
+        problem, idx = build_conic_problem(fg, SOCP_RELAXATION)
+        ca = build_chain_arrow(problem, idx)
+        # arrow holds only the landmarks (the pose-pose range (A0, A5)
+        # also touches the pinned pose, so no range cover either)
+        assert ca.A == idx.num_landmarks * idx.dim
 
     def test_api_auto_backend(self, rng):
         from score_tpu.api import ScoreSolverParams, solve_score
@@ -133,7 +236,14 @@ class TestGuards:
         assert res.solved
         fg2 = small_graph(rng, loop=True)
         res2 = solve_score(fg2, SOCP_RELAXATION, ScoreSolverParams())
-        assert res2.solved  # falls back to dense with the loop closure
+        assert res2.solved  # loop closures ride the structured backend now
+
+    def test_api_3d_auto_backend(self, rng):
+        from score_tpu.api import ScoreSolverParams, solve_score
+
+        fg = small_graph_3d(rng)
+        res = solve_score(fg, SOCP_RELAXATION, ScoreSolverParams())
+        assert res.solved
 
 
 class TestManyRobots:
