@@ -6,7 +6,13 @@ reference consumes (SURVEY.md §2.2).
 """
 
 from score_tpu.fg.factor_graph import FactorGraphData
-from score_tpu.fg.io import parse_pickle_file, parse_tum_file, save_to_pickle_file
+from score_tpu.fg.io import (
+    parse_g2o_file,
+    parse_pickle_file,
+    parse_tum_file,
+    save_to_g2o_file,
+    save_to_pickle_file,
+)
 from score_tpu.fg.measurements import (
     AmbiguousFGRangeMeasurement,
     AmbiguousPoseMeasurement2D,
@@ -38,8 +44,10 @@ from score_tpu.fg.variables import (
 
 __all__ = [
     "FactorGraphData",
+    "parse_g2o_file",
     "parse_pickle_file",
     "parse_tum_file",
+    "save_to_g2o_file",
     "save_to_pickle_file",
     "FGRangeMeasurement",
     "PoseMeasurement2D",

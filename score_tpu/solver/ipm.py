@@ -55,7 +55,10 @@ OPTIMAL = 1
 MAX_ITER = 2
 NUMERICAL_ERROR = 3
 OPTIMAL_INACCURATE = 4  # stopped early but meets the reduced tolerances
+PRIMAL_INFEASIBLE = 5  # certificate z: z in K*, G'z ~ 0, h'z < 0
+DUAL_INFEASIBLE = 6  # certificate x: P x ~ 0, q'x < 0, -G x in K (unbounded)
 SOLVED_STATUSES = (OPTIMAL, OPTIMAL_INACCURATE)
+INFEASIBLE_STATUSES = (PRIMAL_INFEASIBLE, DUAL_INFEASIBLE)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -110,6 +113,19 @@ class IPMParams:
     gondzio_correctors: int = 2
     gondzio_beta_min: float = 0.1
     gondzio_beta_max: float = 10.0
+    # Infeasibility certificates (SURVEY.md §5 failure-detection role).
+    # A diverging iterate is tested against the normalized Farkas
+    # conditions: primal infeasibility via z (z in K*, ||G'z|| small
+    # relative to ||z||, h'z < 0) and dual infeasibility / unboundedness
+    # via x (||P x|| small, q'x < 0, -G x in K). Note: with the
+    # weighted-least-squares cost encoding of assembly/conic.py the
+    # objective is a sum of squares and q lies in range(P), so the dual
+    # certificate is structurally unreachable for problems built from a
+    # factor graph — it exists for hand-built conic programs. Likewise
+    # h in K for both relaxations makes false primal positives impossible
+    # at feasible optima (h'z > 0 for interior z).
+    tol_infeas: float = 1e-8
+    infeas_norm_gate: float = 100.0  # only test once the iterate diverges
     # Wide-neighborhood safeguard: backtrack the step until every cone's
     # scaled eigenvalue product rho_s * rho_z stays >= (gamma^2 mu). Pure
     # Mehrotra lets a single cone crash into the boundary (rho_z -> eps)
@@ -197,7 +213,7 @@ def _convergence_full(backend, problem, state, params: IPMParams, x, s, z):
         & ((gap < params.tol_gap_abs) | (relgap < params.tol_gap_rel))
     )
     bad = ~(jnp.isfinite(pres) & jnp.isfinite(dres) & jnp.isfinite(gap))
-    return ok, bad, pres, dres, gap, pq, rx, rz
+    return ok, bad, pres, dres, gap, pq, rx, rz, Px, Gtz, Gx
 
 
 def _metric(pres, dres, gap, pobj):
@@ -211,7 +227,7 @@ def _advance(backend, problem, state_ops, params, st: _State) -> _State:
     tracking), then a Mehrotra step unless terminal. The residuals computed
     for the convergence check are reused by the step (the operator
     applications are a meaningful share of structured-backend time)."""
-    ok, bad, pres, dres, gap, pq, rx, rz = _convergence_full(
+    ok, bad, pres, dres, gap, pq, rx, rz, Px, Gtz, Gx = _convergence_full(
         backend, problem, state_ops, params, st.x, st.s, st.z
     )
     m = _metric(pres, dres, gap, pq + state_ops.const)
@@ -222,14 +238,41 @@ def _advance(backend, problem, state_ops, params, st: _State) -> _State:
     best_metric = jnp.minimum(m, st.best_metric)
     stall = jnp.where(improved, 0, st.stall + 1)
 
+    # --- infeasibility certificates on diverging iterates -------------
+    tol_i = params.tol_infeas
+    znorm = jnp.linalg.norm(st.z)
+    # Farkas: on the free subspace the effective rhs is h - G xpin
+    hz = jnp.sum(problem.cone_h * st.z) - state_ops.xpin @ Gtz
+    pinf = (
+        (znorm > params.infeas_norm_gate)
+        & (hz < -tol_i * znorm)
+        & (jnp.linalg.norm(state_ops.mask * Gtz) < tol_i * znorm)
+    )
+    xnorm = jnp.linalg.norm(st.x)
+    qx = state_ops.q @ st.x
+    ray_in_cone = (
+        jnp.min(cones.min_eig(-Gx)) > -tol_i * xnorm
+        if problem.num_cones
+        else jnp.asarray(True)
+    )
+    dinf = (
+        (xnorm > params.infeas_norm_gate)
+        & (qx < -tol_i * xnorm)
+        & (jnp.linalg.norm(state_ops.mask * Px) < tol_i * xnorm)
+        & ray_in_cone
+    )
+
     stalled = stall >= params.stall_limit
-    terminal = ok | bad | stalled | (st.status != RUNNING)
+    terminal = ok | bad | stalled | pinf | dinf | (st.status != RUNNING)
     status = jnp.where(
         st.status != RUNNING,
         st.status,
         jnp.where(ok, OPTIMAL,
-                  jnp.where(bad, NUMERICAL_ERROR,
-                            jnp.where(stalled, MAX_ITER, RUNNING))),
+                  jnp.where(pinf, PRIMAL_INFEASIBLE,
+                            jnp.where(dinf, DUAL_INFEASIBLE,
+                                      jnp.where(bad, NUMERICAL_ERROR,
+                                                jnp.where(stalled, MAX_ITER,
+                                                          RUNNING))))),
     )
     st = st._replace(
         status=status, best_x=best_x, best_s=best_s, best_z=best_z,
@@ -538,6 +581,14 @@ def _finalize(backend, problem, state_ops, params, state: _State) -> IPMResult:
                 jnp.where(bad, NUMERICAL_ERROR, MAX_ITER),
             ),
         ),
+    )
+    # infeasibility certificates take precedence (the "best iterate" of a
+    # diverging problem never meets the optimality tests anyway)
+    status = jnp.where(
+        (state.status == PRIMAL_INFEASIBLE)
+        | (state.status == DUAL_INFEASIBLE),
+        state.status,
+        status,
     )
     return IPMResult(
         x=x, s=s, z=z,

@@ -114,3 +114,61 @@ class TestDataModel:
         total = sum(len(v) for v in d.values())
         # every range in GOATS is pose-landmark, anchored at exactly one pose
         assert total == 1558
+
+
+class TestG2O:
+    """g2o round-trip (reference README.md:49-56 format parity)."""
+
+    def test_2d_roundtrip_solves_identically(self, tmp_path):
+        import numpy as np
+
+        from score_tpu.api import ScoreSolverParams, solve_score
+        from score_tpu.fg import parse_g2o_file, save_to_g2o_file
+        from tests.test_assembly import small_graph
+
+        rng = np.random.default_rng(12)
+        fg = small_graph(rng, loop=True)
+        path = str(tmp_path / "g.g2o")
+        save_to_g2o_file(fg, path)
+        fg2 = parse_g2o_file(path)
+        assert fg2.dimension == 2
+        assert fg2.num_poses == fg.num_poses
+        assert len(fg2.landmark_variables) == len(fg.landmark_variables)
+        assert len(fg2.loop_closure_measurements) == len(
+            fg.loop_closure_measurements
+        )
+        assert len(fg2.range_measurements) == len(fg.range_measurements)
+        r1 = solve_score(fg, "SOCP", ScoreSolverParams())
+        r2 = solve_score(fg2, "SOCP", ScoreSolverParams())
+        assert r2.primal_objective == pytest.approx(
+            r1.primal_objective, rel=1e-6
+        )
+
+    def test_3d_roundtrip(self, tmp_path):
+        import numpy as np
+
+        from score_tpu.fg import parse_g2o_file, save_to_g2o_file
+        from tests.test_chain_arrow import small_graph_3d
+
+        fg = small_graph_3d(np.random.default_rng(5))
+        path = str(tmp_path / "g3.g2o")
+        save_to_g2o_file(fg, path)
+        fg2 = parse_g2o_file(path)
+        assert fg2.dimension == 3
+        assert fg2.num_poses == fg.num_poses
+        m1 = fg.odom_measurements[0][0]
+        m2 = fg2.odom_measurements[0][0]
+        np.testing.assert_allclose(
+            np.asarray(m2.rotation), np.asarray(m1.rotation), atol=1e-9
+        )
+        np.testing.assert_allclose(
+            np.asarray(m2.translation), np.asarray(m1.translation), atol=1e-9
+        )
+
+    def test_unknown_tag_raises(self, tmp_path):
+        from score_tpu.fg import parse_g2o_file
+
+        path = tmp_path / "bad.g2o"
+        path.write_text("VERTEX_SE2 0 0 0 0\nFIXME 1 2 3\n")
+        with pytest.raises(ValueError, match="FIXME"):
+            parse_g2o_file(str(path))
