@@ -149,12 +149,19 @@ def _greedy_cover(edges, excluded):
 
 
 def build_chain_arrow(
-    problem: ConicProblem, idx: VariableIndex
+    problem: ConicProblem,
+    idx: VariableIndex,
+    num_chains_pad: int = 0,
 ) -> ChainArrowStructure:
-    """Host-side (numpy) structure analysis."""
+    """Host-side (numpy) structure analysis.
+
+    ``num_chains_pad`` rounds the chain axis up (with fully inactive
+    chains: cm = 0, zero couplings, identity diagonal fill) so the chain
+    axis divides a device-mesh size for intra-problem sharding
+    (SURVEY.md §2.4 "intra-problem sharding")."""
     d = idx.dim
     D = idx.pose_block
-    C = len(idx.chain_lengths)
+    C = max(len(idx.chain_lengths), num_chains_pad)
     T = max(idx.chain_lengths)
     NR = idx.num_ranges
     NL = idx.num_landmarks

@@ -83,3 +83,96 @@ class TestSharded:
         if len(jax.devices()) == 8:
             with pytest.raises(ValueError):
                 solve_conic_sharded(batch, default_mesh(), IPMParams(max_iter=5))
+
+
+class TestIntraProblemSharding:
+    """One large multi-robot problem sharded across the mesh: per-robot
+    chains distributed, the arrow Schur psum is the only cross-device
+    reduction (SURVEY.md §2.4 'intra-problem sharding')."""
+
+    def test_20robot_chain_sharded_matches_single_device(self):
+        import jax
+        from jax.sharding import Mesh
+
+        from score_tpu.assembly.conic import SOCP_RELAXATION, build_conic_problem
+        from score_tpu.parallel.intra import solve_conic_chain_sharded
+        from score_tpu.sim.manhattan import (
+            ManhattanWorldParams,
+            simulate_manhattan_world,
+        )
+        from score_tpu.solver.chain_arrow import (
+            ChainArrowBackend,
+            build_chain_arrow,
+        )
+        from score_tpu.solver.ipm import IPMParams, SOLVED_STATUSES, solve_conic
+
+        fg = simulate_manhattan_world(
+            ManhattanWorldParams(
+                num_robots=20,
+                num_poses_per_robot=12,
+                num_landmarks=4,
+                grid_size=10,
+                range_measure_prob=0.35,
+                inter_robot_measure_prob=0.1,
+                inter_robot_sensing_radius=10.0,
+                seed=3,
+            )
+        )
+        problem, idx = build_conic_problem(fg, SOCP_RELAXATION)
+        params = IPMParams(max_iter=40)
+
+        mesh = Mesh(np.array(jax.devices()), ("chains",))
+        r_sharded = solve_conic_chain_sharded(problem, idx, mesh, params)
+        r_single = solve_conic(
+            problem, params,
+            backend=ChainArrowBackend,
+            backend_aux=build_chain_arrow(problem, idx),
+        )
+        assert int(r_sharded.status) in SOLVED_STATUSES
+        assert float(r_sharded.pobj) == pytest.approx(
+            float(r_single.pobj), rel=1e-6, abs=1e-8
+        )
+
+    def test_chain_padding_is_neutral(self):
+        # padding the chain axis (inactive identity chains) must not
+        # change the solution at all
+        from score_tpu.assembly.conic import SOCP_RELAXATION, build_conic_problem
+        from score_tpu.sim.manhattan import (
+            ManhattanWorldParams,
+            simulate_manhattan_world,
+        )
+        from score_tpu.solver.chain_arrow import (
+            ChainArrowBackend,
+            build_chain_arrow,
+        )
+        from score_tpu.solver.ipm import IPMParams, solve_conic
+
+        fg = simulate_manhattan_world(
+            ManhattanWorldParams(
+                num_robots=3,
+                num_poses_per_robot=8,
+                num_landmarks=2,
+                grid_size=6,
+                range_measure_prob=0.5,
+                seed=9,
+            )
+        )
+        problem, idx = build_conic_problem(fg, SOCP_RELAXATION)
+        params = IPMParams(max_iter=40)
+        r0 = solve_conic(
+            problem, params, backend=ChainArrowBackend,
+            backend_aux=build_chain_arrow(problem, idx),
+        )
+        r8 = solve_conic(
+            problem, params, backend=ChainArrowBackend,
+            backend_aux=build_chain_arrow(problem, idx, num_chains_pad=8),
+        )
+        # padding changes einsum reduction order over the chain axis, so
+        # iterates diverge at roundoff level; assert solver-tolerance parity
+        # near-zero optimum on clean simulated data: absolute comparison
+        assert float(r8.pobj) == pytest.approx(
+            float(r0.pobj), rel=1e-6, abs=1e-9
+        )
+        np.testing.assert_allclose(
+            np.asarray(r8.x), np.asarray(r0.x), atol=1e-4
+        )
