@@ -26,6 +26,17 @@ if not os.environ.get("SCORE_TPU_NO_X64"):
 
     jax.config.update("jax_enable_x64", True)
 
+# TPU matmuls on f32 inputs default to one-pass bf16 (measured relative
+# error 2e-3 on this runtime) — catastrophic inside a direct factorization
+# (the f32 PCR block eliminations lose positive definiteness and NaN).
+# A numerical solver must never get implicit bf16: force true-f32 matmul
+# accumulation everywhere (f64 paths are unaffected; the MXU runs the
+# 6-pass decomposition, still far faster than emulated f64).
+if not os.environ.get("SCORE_TPU_NO_HIGHEST_MATMUL"):
+    import jax
+
+    jax.config.update("jax_default_matmul_precision", "highest")
+
 # Persistent compilation cache: the emulated-f64 linear-algebra pipelines are
 # expensive to compile (minutes on remote-compile TPU setups) but compile
 # once per (shape, dtype). Opt out with SCORE_TPU_NO_COMPILE_CACHE=1.

@@ -1,0 +1,189 @@
+"""Rigorous double-f32 ("two-float") arithmetic for TPU.
+
+TPU hardware has no f64. This environment's runtime emulates one (a
+double-f32-style arithmetic with ~1e-15 median multiply error and no
+faithful rounding) at roughly 3x the cost of native f32 — and the
+emulation's lack of faithful rounding means error-free transforms cannot
+run on top of it. Genuine f32, by contrast, IS faithfully rounded IEEE on
+the TPU vector unit (verified on-device: Knuth two-sum and Dekker
+two-product reproduce exact results), so extended precision can be built
+honestly in software: a value is an unevaluated sum hi + lo of two f32
+with |lo| <= ulp(hi)/2, giving ~2^-47 effective precision with the f32
+exponent range.
+
+This is the numeric foundation of the TPU-fast KKT factorization path
+(:mod:`score_tpu.solver.chain_arrow` mixed precision): the chain band of
+a GOATS-scale KKT system has kappa ~ 1e8-1e9 even after Jacobi
+equilibration (the pinned odometry chain is a 1D-Laplacian-like
+operator), so plain-f32 factorization diverges (kappa * eps32 > 1) while
+two-float keeps kappa * eps_tf ~ 1e-5 — small enough for one refinement
+pass to restore f64-grade directions.
+
+Algorithms follow the classic double-double construction (Dekker 1971;
+Knuth TAOCP v2; Hida-Li-Bailey QD), restricted to the add/sub/mul/div/
+sqrt set the solver needs. Everything is elementwise/batched jnp on f32
+— VPU-friendly, vmap/jit-safe, and Pallas-compatible (f32 only).
+
+No counterpart in the reference (Gurobi runs on host f64); this is part
+of the from-scratch TPU numerical engine (SURVEY.md §2.3).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+__all__ = [
+    "TF",
+    "tf",
+    "from_hi_lo",
+    "to_f64",
+    "from_f64",
+    "neg",
+    "add",
+    "sub",
+    "mul",
+    "div",
+    "sqrt",
+    "scale",
+    "matmul",
+    "where",
+]
+
+_SPLIT = float(2**12 + 1)  # Veltkamp constant for the 24-bit f32 mantissa
+
+
+class TF(NamedTuple):
+    """An unevaluated f32 sum hi + lo with |lo| <= ulp(hi)/2 (a pytree)."""
+
+    hi: jnp.ndarray
+    lo: jnp.ndarray
+
+
+def tf(x) -> TF:
+    """Lift a plain f32 array (lo = 0)."""
+    x = jnp.asarray(x, dtype=jnp.float32)
+    return TF(x, jnp.zeros_like(x))
+
+
+def from_hi_lo(hi, lo) -> TF:
+    return TF(jnp.asarray(hi, jnp.float32), jnp.asarray(lo, jnp.float32))
+
+
+def from_f64(x) -> TF:
+    """Split a higher-precision array into (hi, lo). Exact when the source
+    is true f64; on the TPU f64 emulation the conversion is as good as the
+    emulated value itself."""
+    hi = x.astype(jnp.float32)
+    lo = (x - hi.astype(x.dtype)).astype(jnp.float32)
+    return TF(hi, lo)
+
+
+def to_f64(a: TF):
+    return a.hi.astype(jnp.float64) + a.lo.astype(jnp.float64)
+
+
+def _two_sum(a, b):
+    s = a + b
+    bb = s - a
+    return s, (a - (s - bb)) + (b - bb)
+
+
+def _quick_two_sum(a, b):
+    # requires |a| >= |b| (or a == 0)
+    s = a + b
+    return s, b - (s - a)
+
+
+def _split(a):
+    c = jnp.float32(_SPLIT) * a
+    hi = c - (c - a)
+    return hi, a - hi
+
+
+def _two_prod(a, b):
+    p = a * b
+    ah, al = _split(a)
+    bh, bl = _split(b)
+    return p, ((ah * bh - p) + ah * bl + al * bh) + al * bl
+
+
+def neg(a: TF) -> TF:
+    return TF(-a.hi, -a.lo)
+
+
+def add(a: TF, b: TF) -> TF:
+    """Accurate double-f32 addition (Knuth two-sum on both limbs)."""
+    s1, s2 = _two_sum(a.hi, b.hi)
+    t1, t2 = _two_sum(a.lo, b.lo)
+    s2 = s2 + t1
+    s1, s2 = _quick_two_sum(s1, s2)
+    s2 = s2 + t2
+    s1, s2 = _quick_two_sum(s1, s2)
+    return TF(s1, s2)
+
+
+def sub(a: TF, b: TF) -> TF:
+    return add(a, neg(b))
+
+
+def mul(a: TF, b: TF) -> TF:
+    p1, p2 = _two_prod(a.hi, b.hi)
+    p2 = p2 + (a.hi * b.lo + a.lo * b.hi)
+    return TF(*_quick_two_sum(p1, p2))
+
+
+def scale(a: TF, c) -> TF:
+    """a * c with c a plain f32 array (exact two_prod on the hi limb)."""
+    p1, p2 = _two_prod(a.hi, c)
+    p2 = p2 + a.lo * c
+    return TF(*_quick_two_sum(p1, p2))
+
+
+def div(a: TF, b: TF) -> TF:
+    """Long division: three f32 quotient corrections (~full tf precision)."""
+    q1 = a.hi / b.hi
+    r = sub(a, scale(b, q1))
+    q2 = r.hi / b.hi
+    r = sub(r, scale(b, q2))
+    q3 = r.hi / b.hi
+    s1, s2 = _quick_two_sum(q1, q2)
+    return add(TF(s1, s2), tf(q3))
+
+
+def sqrt(a: TF) -> TF:
+    """Newton step on the f32 estimate: q + (a - q^2) / (2q).
+
+    Domain: a > 0 (the solver's cone/pivot quantities); a.hi == 0 returns 0.
+    """
+    q = jnp.sqrt(a.hi)
+    safe = jnp.where(q > 0.0, q, 1.0)
+    p1, p2 = _two_prod(safe, safe)
+    r = sub(a, TF(p1, p2))
+    corr = r.hi / (2.0 * safe)
+    out = TF(*_quick_two_sum(safe, corr))
+    zero = jnp.zeros_like(q)
+    return TF(jnp.where(q > 0.0, out.hi, zero), jnp.where(q > 0.0, out.lo, zero))
+
+
+def where(c, a: TF, b: TF) -> TF:
+    return TF(jnp.where(c, a.hi, b.hi), jnp.where(c, a.lo, b.lo))
+
+
+def matmul(A: TF, B: TF) -> TF:
+    """Batched (..., m, p) @ (..., p, k) in two-float arithmetic.
+
+    The p products are exact two_prods evaluated in one broadcast batch;
+    the contraction is a sequential compensated accumulation over p
+    (p is a small static block dimension here, 2..12).
+    """
+    m, p = A.hi.shape[-2], A.hi.shape[-1]
+    k = B.hi.shape[-1]
+    Ae = TF(A.hi[..., :, :, None], A.lo[..., :, :, None])  # (..., m, p, 1)
+    Be = TF(B.hi[..., None, :, :], B.lo[..., None, :, :])  # (..., 1, p, k)
+    terms = mul(Ae, Be)  # (..., m, p, k)
+    acc = TF(terms.hi[..., :, 0, :], terms.lo[..., :, 0, :])
+    for i in range(1, p):
+        acc = add(acc, TF(terms.hi[..., :, i, :], terms.lo[..., :, i, :]))
+    return acc

@@ -13,9 +13,21 @@ tiny next to the KKT work.
 
 All primitives are plain jax ops (no FMA requirement), dtype-aware
 (f32/f64 splitting constants), and vmap/jit-safe. They rely on IEEE
-round-to-nearest arithmetic, which XLA preserves (no unsafe
-reassociation by default); on backends with non-IEEE emulated f64 the
-error terms degrade gracefully toward the uncompensated result.
+round-to-nearest arithmetic of the working type, which XLA preserves
+(no unsafe reassociation by default).
+
+Backend precision notes (measured on-device):
+
+* genuine f32 (CPU or TPU): faithful IEEE — two_sum/two_prod are exact
+  error-free transforms (the basis of :mod:`score_tpu.ops.twofloat`);
+* host f64: faithful IEEE — exact EFTs;
+* TPU "f64" (the axon emulation): a double-f32-style arithmetic with
+  ~1e-15 median / ~1.2e-14 max multiply error and accurate addition.
+  It has no faithful rounding, so Dekker splitting is not exact there;
+  the compensation degrades gracefully to ~arithmetic-precision
+  reductions (measured two_prod residual ~3e-15) instead of the
+  eps^2-grade it reaches on IEEE backends. This is what separates the
+  TPU relgap floor (~4e-6 on GOATS) from the CPU one (~4e-7).
 
 Replaces nothing in the reference (Gurobi's barrier hides its own
 endgame handling); this is part of the from-scratch numerical engine
@@ -23,6 +35,8 @@ endgame handling); this is part of the from-scratch numerical engine
 """
 
 from __future__ import annotations
+
+import os
 
 import jax.numpy as jnp
 
@@ -33,6 +47,23 @@ __all__ = [
     "jdot",
     "dot",
 ]
+
+
+def _effective_nmant(dtype) -> int:
+    """Mantissa bits assumed by the Dekker splitting constant: the nominal
+    type precision (``SCORE_TPU_F64_NMANT`` overrides, for testing).
+
+    On the TPU f64 emulation there is no splitting constant that makes
+    two_prod exact (the arithmetic has no faithful rounding — see module
+    docstring); the nominal constant keeps the compensation at its
+    graceful-degradation best there (~arithmetic precision).
+    """
+    nmant = jnp.finfo(dtype).nmant
+    if nmant > 23:
+        override = os.environ.get("SCORE_TPU_F64_NMANT")
+        if override:
+            return int(override)
+    return nmant
 
 
 def two_sum(a, b):
@@ -46,7 +77,7 @@ def two_sum(a, b):
 def _split(a):
     """Dekker split of a into hi + lo with hi carrying the top half of the
     mantissa (splitting constant 2^ceil(p/2) + 1 for p mantissa bits)."""
-    bits = jnp.finfo(a.dtype).nmant  # 52 for f64, 23 for f32
+    bits = _effective_nmant(a.dtype)  # 52 for f64, 23 for f32/TPU-f64
     factor = jnp.asarray(float(2 ** ((bits + 2) // 2) + 1), dtype=a.dtype)
     c = factor * a
     hi = c - (c - a)
