@@ -11,6 +11,7 @@ interior-point solver in :mod:`score_tpu.solver.ipm` instead of Gurobi.
 from __future__ import annotations
 
 import logging
+import os
 import time
 from typing import Dict, List, Optional, Tuple
 
@@ -76,12 +77,17 @@ def _select_backend(
                 "chain_arrow backend requires at least one pose chain; "
                 "use backend='dense'"
             )
-        # "mixed": f32 structured factorization + f64 operators/refinement
-        cls = (
-            MixedChainArrowBackend
-            if params.precision == "mixed"
-            else ChainArrowBackend
+        # "mixed": two-float band factorization + f64 operators/refinement;
+        # "auto" resolves to mixed on TPU (native-f32 Pallas band, same
+        # accuracy as the emulated-f64 one) and plain f64 elsewhere.
+        import jax as _jax
+
+        mixed = params.precision == "mixed" or (
+            params.precision == "auto"
+            and _jax.default_backend() == "tpu"
+            and os.environ.get("SCORE_TPU_AUTO_MIXED", "1") != "0"
         )
+        cls = MixedChainArrowBackend if mixed else ChainArrowBackend
         return cls, build_chain_arrow(problem, idx)
     raise ValueError(f"Unknown backend {choice!r}")
 

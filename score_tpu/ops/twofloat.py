@@ -49,6 +49,10 @@ __all__ = [
     "scale",
     "matmul",
     "where",
+    "transpose",
+    "chol_small",
+    "tri_lower_solve",
+    "tri_upper_solve",
 ]
 
 _SPLIT = float(2**12 + 1)  # Veltkamp constant for the 24-bit f32 mantissa
@@ -169,6 +173,80 @@ def sqrt(a: TF) -> TF:
 
 def where(c, a: TF, b: TF) -> TF:
     return TF(jnp.where(c, a.hi, b.hi), jnp.where(c, a.lo, b.lo))
+
+
+def transpose(A: TF) -> TF:
+    """Swap the last two axes."""
+    return TF(jnp.swapaxes(A.hi, -1, -2), jnp.swapaxes(A.lo, -1, -2))
+
+
+def _col(A: TF, j: int) -> TF:
+    return TF(A.hi[..., :, j], A.lo[..., :, j])
+
+
+def _row(A: TF, i: int) -> TF:
+    return TF(A.hi[..., i, :], A.lo[..., i, :])
+
+
+def _entry_keepdim(v: TF, j: int) -> TF:
+    return TF(v.hi[..., j : j + 1], v.lo[..., j : j + 1])
+
+
+def chol_small(A: TF) -> TF:
+    """Cholesky of (..., m, m) SPD blocks in two-float arithmetic
+    (unrolled left-looking columns, mirroring
+    :func:`score_tpu.solver.smallblocks.chol_small`)."""
+    m = A.hi.shape[-1]
+    cols = []
+    for j in range(m):
+        c = _col(A, j)
+        for k in range(j):
+            c = sub(c, mul(cols[k], _entry_keepdim(cols[k], j)))
+        pivot = sqrt(_entry_keepdim(c, j))
+        col = div(c, pivot)
+        # int32 iota: these helpers also run inside Pallas kernels, where
+        # an x64-default (i64) arange is rejected by Mosaic
+        mask = (jnp.arange(m, dtype=jnp.int32) >= j).astype(jnp.float32)
+        col = TF(col.hi * mask, col.lo * mask)
+        cols.append(col)
+    return TF(
+        jnp.stack([c.hi for c in cols], axis=-1),
+        jnp.stack([c.lo for c in cols], axis=-1),
+    )
+
+
+def tri_lower_solve(L: TF, B: TF) -> TF:
+    """Solve L Y = B, L (..., m, m) lower-triangular, B (..., m, K)."""
+    m = L.hi.shape[-1]
+    rows = []
+    for i in range(m):
+        r = _row(B, i)
+        for k in range(i):
+            lik = TF(L.hi[..., i, k : k + 1], L.lo[..., i, k : k + 1])
+            r = sub(r, mul(lik, rows[k]))
+        lii = TF(L.hi[..., i, i : i + 1], L.lo[..., i, i : i + 1])
+        rows.append(div(r, lii))
+    return TF(
+        jnp.stack([r.hi for r in rows], axis=-2),
+        jnp.stack([r.lo for r in rows], axis=-2),
+    )
+
+
+def tri_upper_solve(L: TF, B: TF) -> TF:
+    """Solve L^T Y = B (L lower-triangular), unrolled back substitution."""
+    m = L.hi.shape[-1]
+    rows = [None] * m
+    for i in reversed(range(m)):
+        r = _row(B, i)
+        for k in range(i + 1, m):
+            lki = TF(L.hi[..., k, i : i + 1], L.lo[..., k, i : i + 1])
+            r = sub(r, mul(lki, rows[k]))
+        lii = TF(L.hi[..., i, i : i + 1], L.lo[..., i, i : i + 1])
+        rows[i] = div(r, lii)
+    return TF(
+        jnp.stack([r.hi for r in rows], axis=-2),
+        jnp.stack([r.lo for r in rows], axis=-2),
+    )
 
 
 def matmul(A: TF, B: TF) -> TF:

@@ -7,9 +7,10 @@ first-class new components of the TPU framework:
   Monte-Carlo measurement resamples of one graph) into one batched pytree.
 - :func:`solve_conic_batch` — vmap of the IPM over the batch: one compiled
   program, every trial advanced in lockstep on one chip.
-- :func:`solve_conic_sharded` — shard_map over a device mesh: trials are
-  data-parallel across chips; XLA emits the (trivially light) collectives
-  over ICI.
+- :func:`solve_conic_sharded` — the batch axis laid out over a device
+  mesh with NamedShardings (device_put + jit; GSPMD partitions the vmapped
+  program): trials are data-parallel across chips, and XLA emits the
+  (trivially light) collectives over ICI.
 
 Because every array in :class:`ConicProblem` and in the IPM state has a
 static shape, a batch axis composes with `vmap`/`shard_map` with no special

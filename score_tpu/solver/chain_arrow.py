@@ -59,8 +59,19 @@ from score_tpu.assembly.conic import (
     SOCP_RELAXATION,
     VariableIndex,
 )
+import os
+
+from score_tpu.ops import twofloat as tfm
+from score_tpu.ops.twofloat import TF
+from score_tpu.ops.pallas_pcr import (
+    PPCRFactors,
+    ppcr_factor_pallas,
+    ppcr_solve_pallas,
+    ppcr_vmem_bytes,
+)
 from score_tpu.solver.linops import G_apply
 from score_tpu.solver.pcr import PCRFactors, pcr_factor, pcr_pad_length, pcr_solve
+from score_tpu.solver.pcr_tf import pcr_factor_tf, pcr_solve_tf
 from score_tpu.solver.smallblocks import inv_small_spd
 
 __all__ = [
@@ -439,7 +450,9 @@ class CAState(NamedTuple):
 
 
 class CAFactors(NamedTuple):
-    pcr: PCRFactors  # vmapped-over-chains cyclic-reduction factors
+    # vmapped-over-chains cyclic-reduction factors; plain (C, ...) arrays
+    # on the f64 backend, two-float TF pairs on the mixed backend
+    pcr: PCRFactors
     B: jnp.ndarray  # (C, Tp, D, A) masked chain-arrow coupling
     Z: jnp.ndarray  # (C, Tp, D, A) = T^{-1} B chain solves of the panels
     LS: jnp.ndarray  # (A, A) arrow Schur Cholesky
@@ -449,9 +462,22 @@ class CAFactors(NamedTuple):
     Winv2: jnp.ndarray  # (NR, k, k) NT scalings (for refinement matvecs)
     # Jacobi column scales of the mixed-precision path (None on the plain
     # backend): the band factors above hold D K D with unit diagonal,
-    # factored in f32; solves scale in and out in f64.
+    # factored in two-float; solves scale in and out in f64.
     dC: jnp.ndarray = None  # (C, T, D)
     dA: jnp.ndarray = None  # (A,)
+
+
+def _use_pallas_pcr() -> bool:
+    """Two-float band factorizations run through the fused Pallas kernels
+    by default on TPU (one launch per factor/solve instead of hundreds on
+    this dispatch-bound runtime); the jnp two-float PCR everywhere else.
+    Override with SCORE_TPU_PALLAS_PCR=0/1."""
+    flag = os.environ.get("SCORE_TPU_PALLAS_PCR", "")
+    if flag == "0":
+        return False
+    if flag == "1":
+        return True
+    return jax.default_backend() == "tpu"
 
 
 def _tri(L, b):
@@ -860,10 +886,12 @@ class ChainArrowBackend:
         return Dg, Ug, Bg, Sg, kdd, wv, Hhat, delta
 
     @staticmethod
-    def _factor_band(st, Dg, Ug, Bg, Sg, delta, params):
+    def _factor_band(st, Dg, Ug, Bg, Sg, delta, params, use_tf=False):
         """Block-tridiagonal factorization per chain via parallel cyclic
         reduction (log-depth, level-batched — see solver/pcr.py) plus the
-        dense arrow Schur complement."""
+        dense arrow Schur complement. With ``use_tf`` the band factors are
+        computed in two-float (double-f32) arithmetic — the coupling
+        panels Z and the arrow Schur complement stay in the input dtype."""
         C, T, D, A = st.C, st.T, st.D, st.A
         dtype = Dg.dtype
         Tp = pcr_pad_length(T)
@@ -875,8 +903,22 @@ class ChainArrowBackend:
             Up = Up.at[:, : T - 1].set(Ug)
         Bp = jnp.zeros((C, Tp, D, A), dtype=dtype).at[:, :T].set(Bg)
 
-        pcrf = jax.vmap(pcr_factor)(Dp, Up)
-        Z = jax.vmap(pcr_solve)(pcrf, Bp)
+        # fused Pallas kernels need the factors VMEM-resident (gridless on
+        # this toolchain); fall back to the jnp two-float path beyond ~12MB
+        pallas_fits = ppcr_vmem_bytes(C, Tp, D) < 12 * 2**20
+        if use_tf and _use_pallas_pcr() and pallas_fits:
+            pcrf = ppcr_factor_pallas(tfm.from_f64(Dp), tfm.from_f64(Up))
+            Z = tfm.to_f64(
+                ppcr_solve_pallas(pcrf, tfm.from_f64(Bp))
+            ).astype(dtype)
+        elif use_tf:
+            pcrf = jax.vmap(pcr_factor_tf)(tfm.from_f64(Dp), tfm.from_f64(Up))
+            Z = tfm.to_f64(
+                jax.vmap(pcr_solve_tf)(pcrf, tfm.from_f64(Bp))
+            ).astype(dtype)
+        else:
+            pcrf = jax.vmap(pcr_factor)(Dp, Up)
+            Z = jax.vmap(pcr_solve)(pcrf, Bp)
         Sg = Sg - jnp.einsum("ctia,ctib->ab", Bp, Z)
         LS1 = jnp.linalg.cholesky(Sg)
         LS = jax.lax.cond(
@@ -931,24 +973,33 @@ class ChainArrowBackend:
         """Solve the chain+arrow band system
             [T B; B' S][x; u] = [rc; ra]  =>
             w = T^{-1} rc,  u = Stilde^{-1}(ra - B' w),  x = w - T^{-1}B u.
-        With mixed-precision factors (factors.dC set), the system held is
-        the Jacobi-equilibrated D K D in f32: scale the rhs in, solve in
-        f32, scale the solution out in the rhs dtype."""
+        With mixed-precision factors (factors.dC set), the band factors
+        hold the Jacobi-equilibrated D K D in two-float: scale the rhs in,
+        run the cyclic-reduction solve in two-float, scale back out; the
+        arrow Schur solve and recombination stay in the rhs dtype."""
         C, T, D = st.C, st.T, st.D
-        out_dtype = rc.dtype
-        if factors.dC is not None:
-            rc = (rc * factors.dC).astype(factors.B.dtype)
-            ra = (ra * factors.dA).astype(factors.B.dtype)
         dtype = rc.dtype
+        if factors.dC is not None:
+            rc = rc * factors.dC
+            ra = ra * factors.dA
         Tp = factors.B.shape[1]
         rp = jnp.zeros((C, Tp, D, 1), dtype=dtype).at[:, :T].set(rc[..., None])
-        w = jax.vmap(pcr_solve)(factors.pcr, rp)[..., 0]  # (C, Tp, D)
+        if isinstance(factors.pcr, PPCRFactors):
+            w = tfm.to_f64(
+                ppcr_solve_pallas(factors.pcr, tfm.from_f64(rp))
+            ).astype(dtype)[..., 0]
+        elif isinstance(factors.pcr.L_odd, TF):
+            w = tfm.to_f64(
+                jax.vmap(pcr_solve_tf)(factors.pcr, tfm.from_f64(rp))
+            ).astype(dtype)[..., 0]
+        else:
+            w = jax.vmap(pcr_solve)(factors.pcr, rp)[..., 0]  # (C, Tp, D)
         ra_schur = ra - jnp.einsum("ctia,cti->a", factors.B, w)
         u = _tri_T(factors.LS, _tri(factors.LS, ra_schur))
         dxc = (w - jnp.einsum("ctia,a->cti", factors.Z, u))[:, :T]
         if factors.dC is not None:
-            dxc = dxc.astype(out_dtype) * factors.dC
-            u = u.astype(out_dtype) * factors.dA
+            dxc = dxc * factors.dC
+            u = u * factors.dA
         return dxc, u
 
     @staticmethod
@@ -1022,16 +1073,21 @@ class ChainArrowBackend:
 
 class MixedChainArrowBackend(ChainArrowBackend):
     """Mixed-precision chain+arrow backend: the W-dependent KKT blocks are
-    assembled (and Jacobi-equilibrated) in f64, the band factorization and
-    its triangular/cyclic-reduction solves run in f32 (native TPU
-    arithmetic — the emulated-f64 path is ~an order of magnitude slower
-    per op), and the operators, residuals, and iterative refinement stay
-    in f64. The equilibration D = diag(K)^{-1/2} is what makes the f32
-    factorization usable at GOATS-grade conditioning (raw kappa(K) exceeds
-    1/eps_f32 through the weight spread alone; the scaled system's kappa
-    is structural only), and one f64 refinement pass per KKT solve plus
-    the solver's direction-level refinement recovers the dropped digits —
-    realizing the ``precision="mixed"`` policy promised by
+    assembled (and Jacobi-equilibrated) in f64; the band factorization and
+    its cyclic-reduction solves run in rigorous two-float (double-f32,
+    :mod:`score_tpu.ops.twofloat`) — native f32 TPU arithmetic instead of
+    the ~3x-slower emulated f64; operators, residuals, the arrow Schur
+    complement, and iterative refinement stay in f64.
+
+    Two-float (not plain f32) is load-bearing: even after the Jacobi
+    equilibration D = diag(K)^{-1/2}, the chain band of a GOATS-scale
+    problem keeps kappa ~ 1e8-1e9 (the pinned odometry chain is a
+    1D-Laplacian-like operator — the ill-conditioning is long-wavelength,
+    which no diagonal scaling removes), so a plain-f32 factorization has
+    error contraction kappa * eps32 > 1 and diverges. Two-float keeps a
+    single band solve at ~kappa * 2^-47 ~ 1e-5 relative residual, and the
+    f64 refinement pass below restores f64-grade directions — realizing
+    the ``precision="mixed"`` policy promised by
     :class:`score_tpu.solver.params.ScoreSolverParams`.
     """
 
@@ -1049,15 +1105,8 @@ class MixedChainArrowBackend(ChainArrowBackend):
             Ug = Ug * dC[:, :-1, :, None] * dC[:, 1:, None, :]
         Bg = Bg * dC[..., :, None] * dA[None, None, None, :]
         Sg = Sg * dA[:, None] * dA[None, :]
-        f32 = jnp.float32
         pcrf, Bp, Z, LS = ChainArrowBackend._factor_band(
-            st,
-            Dg.astype(f32),
-            Ug.astype(f32),
-            Bg.astype(f32),
-            Sg.astype(f32),
-            delta,
-            params,
+            st, Dg, Ug, Bg, Sg, delta, params, use_tf=True
         )
         return CAFactors(
             pcr=pcrf, B=Bp, Z=Z, LS=LS, kdd=kdd, wv=wv, Hhat=Hhat,
@@ -1067,10 +1116,10 @@ class MixedChainArrowBackend(ChainArrowBackend):
     @staticmethod
     def solve(problem: ConicProblem, state: CAState, factors: CAFactors,
               rhs, params):
-        # identical flow to the base backend (the f32 scaling lives inside
-        # _band_solve via factors.dC/dA), but with at least one f64
-        # refinement pass against the true K — mandatory here because the
-        # f32 band solve alone is only good to ~eps_f32.
+        # identical flow to the base backend (the two-float scaling lives
+        # inside _band_solve via factors.dC/dA), but with at least one f64
+        # refinement pass against the true K — it is what turns the
+        # ~1e-5-grade two-float band solve into an f64-grade direction.
         dx = ChainArrowBackend._solve_once(problem, state, factors, rhs)
         for _ in range(max(params.kkt_refine_steps, 1)):
             Gv = G_apply(problem, dx)

@@ -42,10 +42,16 @@ class ScoreSolverParams:
     tol_gap_rel: float = 1e-6  # BASELINE.md north-star relative gap
     step_fraction: float = 0.99
 
-    # precision policy: "f64" (accurate, CPU/TPU-emulated), "f32"
-    # (fast TPU path), or "mixed" (f32 factorization + refinement, then
-    # f64 polish iterations)
-    precision: str = "f64"
+    # precision policy:
+    #   "auto"  — f64 on CPU hosts, "mixed" on TPU (the production default)
+    #   "f64"   — everything in f64 (true f64 on CPU; the runtime's
+    #             double-f32-style emulation on TPU)
+    #   "mixed" — f64 assembly/operators/refinement + rigorous two-float
+    #             (double-f32) band factorization via the fused Pallas
+    #             kernels; same accuracy as "f64" on TPU, substantially
+    #             faster (native f32 arithmetic, one launch per band op)
+    #   "f32"   — initializer-grade fast mode (loose tolerances)
+    precision: str = "auto"
     # Inner iterative-refinement passes per KKT solve (against the true
     # K = P + G'W^{-2}G); subsumed to first order by dir_refine_steps.
     kkt_refine_steps: int = 0

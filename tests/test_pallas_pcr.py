@@ -1,0 +1,68 @@
+"""Fused Pallas two-float PCR kernels vs the jnp two-float reference
+(interpret mode on CPU; the same code compiles on TPU)."""
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from score_tpu.ops import twofloat as tfm
+from score_tpu.ops.pallas_pcr import ppcr_factor_pallas, ppcr_solve_pallas
+from tests.test_pcr_tf import _block_tridiag, _dense
+
+
+def _solve_pallas(D, U, rhs):
+    fac = ppcr_factor_pallas(
+        tfm.from_f64(jnp.asarray(D)), tfm.from_f64(jnp.asarray(U)),
+        interpret=True,
+    )
+    x = ppcr_solve_pallas(fac, tfm.from_f64(jnp.asarray(rhs)), interpret=True)
+    return np.asarray(tfm.to_f64(x))
+
+
+def test_pallas_pcr_matches_dense():
+    T, Db = 16, 4
+    D, U = _block_tridiag(T, Db, 0)
+    rhs = np.random.default_rng(1).standard_normal((T, Db, 2))
+    x = _solve_pallas(D[None], U[None], rhs[None])[0]
+    K = _dense(D, U)
+    xref = np.linalg.solve(K, rhs.reshape(T * Db, 2))
+    assert np.max(np.abs(x.reshape(T * Db, 2) - xref)) / np.max(np.abs(xref)) < 1e-9
+
+
+def test_pallas_pcr_illconditioned():
+    T, Db = 32, 4
+    D, U = _block_tridiag(T, Db, 2, cond=1e8)
+    rhs = np.random.default_rng(3).standard_normal((T, Db, 1))
+    x = _solve_pallas(D[None], U[None], rhs[None])[0].reshape(-1)
+    K = _dense(D, U)
+    xref = np.linalg.solve(K, rhs.reshape(-1))
+    assert np.linalg.norm(x - xref) / np.linalg.norm(xref) < 1e-5
+
+
+def test_pallas_pcr_multichain_padded():
+    # two chains, one carrying identity padding in its tail (like the
+    # backend's power-of-two padding of unequal chains)
+    T, Db = 8, 3
+    D0, U0 = _block_tridiag(T, Db, 4)
+    D1, U1 = _block_tridiag(T, Db, 5)
+    # chain 1: only first 5 blocks active, rest decoupled identity
+    D1[5:] = np.eye(Db)
+    U1[4:] = 0.0
+    D = np.stack([D0, D1])
+    U = np.stack([U0, U1])
+    rhs = np.random.default_rng(6).standard_normal((2, T, Db, 1))
+    x = _solve_pallas(D, U, rhs)
+    for c in range(2):
+        K = _dense(D[c], U[c])
+        xref = np.linalg.solve(K, rhs[c].reshape(-1))
+        err = np.linalg.norm(x[c].reshape(-1) - xref) / np.linalg.norm(xref)
+        assert err < 1e-9, (c, err)
+
+
+def test_pallas_pcr_single_block():
+    Db = 4
+    D, U = _block_tridiag(1, Db, 7)
+    rhs = np.random.default_rng(8).standard_normal((1, Db, 1))
+    x = _solve_pallas(D[None], U[None], rhs[None])[0]
+    xref = np.linalg.solve(D[0], rhs[0])
+    assert np.max(np.abs(x[0] - xref)) / np.max(np.abs(xref)) < 1e-9
