@@ -50,7 +50,13 @@ tests (interpret mode on CPU, compiled on TPU).
 from __future__ import annotations
 
 import functools
+import sys
 from typing import NamedTuple
+
+# The two-float level bodies build deep expression chains; Mosaic lowering
+# recurses over them and overflows CPython's default 1000-frame limit.
+if sys.getrecursionlimit() < 20_000:
+    sys.setrecursionlimit(20_000)
 
 import jax
 import jax.numpy as jnp
@@ -103,36 +109,50 @@ def ppcr_vmem_bytes(C: int, T: int, Db: int) -> int:
 # ------------------------------------------------------------------ #
 
 
-def _shift(x: TF, s: int, T: int) -> TF:
-    """Chain-local x_{i-s} (s > 0) / x_{i+s} (s < 0), zero at chain
-    boundaries: circular lane roll + within-chain position mask
-    (lane % T works because every chain spans exactly T lanes)."""
+def _shift(x: TF, s, T: int, down: bool) -> TF:
+    """Chain-local neighbor gather with zero boundaries: x_{i-s} when
+    ``down`` else x_{i+s} (s >= 0, may be a traced i32 — Mosaic lowers
+    dynamic lane rotates). The within-chain position mask uses lane % T,
+    which works because every chain spans exactly T lanes."""
     CT = x.hi.shape[-1]
+    s = jnp.int32(s)
     lane = jax.lax.broadcasted_iota(jnp.int32, x.hi.shape, x.hi.ndim - 1)
     pos = jax.lax.rem(lane, jnp.int32(T))
-    if s > 0:
+    if down:
         mask = pos >= s
+        sh = s
     else:
-        mask = pos < T + s
-    # pltpu.roll takes non-negative shifts (s < 0 wraps circularly); keep
-    # the shift i32 — under x64 a python int lowers as i64, which Mosaic's
-    # tpu.dynamic_rotate rejects.
-    sh = jnp.int32(s % CT)
-    hi = jnp.where(mask, pltpu.roll(x.hi, sh, axis=x.hi.ndim - 1), 0.0)
-    lo = jnp.where(mask, pltpu.roll(x.lo, sh, axis=x.lo.ndim - 1), 0.0)
+        mask = pos < jnp.int32(T) - s
+        sh = jnp.int32(CT) - s  # roll left by s == roll right by CT - s
+
+    def roll2d(v):
+        # dynamic rolls only lower for 2D operands on this toolchain
+        # (higher ranks hit an unsupported gather); lane axis untouched
+        shp = v.shape
+        flat = v.reshape(-1, shp[-1])
+        return pltpu.roll(flat, sh, axis=1).reshape(shp)
+
+    hi = jnp.where(mask, roll2d(x.hi), 0.0)
+    lo = jnp.where(mask, roll2d(x.lo), 0.0)
     return TF(hi, lo)
 
 
 def _mm(A: TF, B: TF) -> TF:
     """Block matmul on (i, k, M) x (k, j, M) -> (i, j, M): lane-parallel
-    over M, contraction unrolled over the static k."""
-    Ae = TF(A.hi[:, :, None, :], A.lo[:, :, None, :])  # (i, k, 1, M)
-    Be = TF(B.hi[None, :, :, :], B.lo[None, :, :, :])  # (1, k, j, M)
-    t = tfm.mul(Ae, Be)  # (i, k, j, M)
+    over M, contraction accumulated over the static k (no (i,k,j,M)
+    intermediate — register pressure is what blows Mosaic compile time)."""
     k = A.hi.shape[1]
-    acc = TF(t.hi[:, 0], t.lo[:, 0])
+
+    def term(kk):
+        # pure slices only: integer-plus-newaxis indexing lowers to a
+        # gather, which Mosaic rejects above 2D
+        Ae = TF(A.hi[:, kk : kk + 1, :], A.lo[:, kk : kk + 1, :])  # (i,1,M)
+        Be = TF(B.hi[kk : kk + 1, :, :], B.lo[kk : kk + 1, :, :])  # (1,j,M)
+        return tfm.mul(Ae, Be)  # (i, j, M)
+
+    acc = term(0)
     for kk in range(1, k):
-        acc = tfm.add(acc, TF(t.hi[:, kk], t.lo[:, kk]))
+        acc = tfm.add(acc, term(kk))
     return acc
 
 
@@ -192,27 +212,42 @@ def _block_inv(D: TF, Db: int) -> TF:
 
 def _factor_kernel(dhi, dlo, uhi, ulo,
                    ehi, elo, fhi, flo, ivhi, ivlo, *, Db: int, T: int):
-    """Unrolled PCR factorization over all chains at once. Refs: inputs
-    (Db, Db, CT); outputs E/F (L*Db, Db, CT) with level `lev` in rows
-    [lev*Db, (lev+1)*Db), invD (Db, Db, CT)."""
+    """PCR factorization over all chains at once, levels as a
+    ``lax.fori_loop`` (unrolling all levels blows Mosaic compile time at
+    chain scale; dynamic lane rotates + dynamic-slice stores keep the
+    kernel body level-independent). Refs: inputs (Db, Db, CT); outputs
+    E/F (L*Db, Db, CT) with level `lev` in rows [lev*Db, (lev+1)*Db),
+    invD (Db, Db, CT). Traced under ``tfm.no_barriers()`` by the caller
+    (Mosaic has no optimization_barrier and needs none)."""
     L = _num_levels(T)
     D = TF(dhi[...], dlo[...])
     U = TF(uhi[...], ulo[...])
-    A = _shift(_transpose_blocks(U), 1, T)  # A_i = U_{i-1}^T
+    A = _shift(_transpose_blocks(U), 1, T, down=True)  # A_i = U_{i-1}^T
     C = U
-    for lev in range(L):
-        s = 1 << lev
+
+    def level(lev, carry):
+        D, A, C = carry
+        s = jax.lax.shift_left(jnp.int32(1), jnp.int32(lev))
         invD = _block_inv(D, Db)
-        E = tfm.neg(_mm(A, _shift(invD, s, T)))
-        F = tfm.neg(_mm(C, _shift(invD, -s, T)))
-        r = slice(lev * Db, (lev + 1) * Db)
+        E = tfm.neg(_mm(A, _shift(invD, s, T, down=True)))
+        F = tfm.neg(_mm(C, _shift(invD, s, T, down=False)))
+        r = pl.ds(lev * Db, Db)
         ehi[r], elo[r] = E.hi, E.lo
         fhi[r], flo[r] = F.hi, F.lo
-        D = tfm.add(D, tfm.add(_mm(E, _shift(C, s, T)),
-                               _mm(F, _shift(A, -s, T))))
-        A = _mm(E, _shift(A, s, T))
-        C = _mm(F, _shift(C, -s, T))
-    if L == 0:  # T == 1: no levels; zero-fill the (1-level) output pad
+        D = tfm.add(D, tfm.add(_mm(E, _shift(C, s, T, down=True)),
+                               _mm(F, _shift(A, s, T, down=False))))
+        A = _mm(E, _shift(A, s, T, down=True))
+        C = _mm(F, _shift(C, s, T, down=False))
+        return (D, A, C)
+
+    if L > 0:
+        # i32 loop bounds: under x64 a default fori_loop carries an i64
+        # induction variable, and Mosaic's convert rule recurses forever
+        # trying to lower i64 arithmetic
+        D, A, C = jax.lax.fori_loop(
+            jnp.int32(0), jnp.int32(L), level, (D, A, C)
+        )
+    else:  # T == 1: no levels; zero-fill the (1-level) output pad
         z = jnp.zeros_like(dhi[...])
         ehi[0:Db], elo[0:Db] = z, z
         fhi[0:Db], flo[0:Db] = z, z
@@ -223,16 +258,23 @@ def _factor_kernel(dhi, dlo, uhi, ulo,
 def _solve_kernel(ehi, elo, fhi, flo, ivhi, ivlo, bhi, blo,
                   xhi, xlo, *, Db: int, T: int):
     """K rhs columns over all chains: replay the stored eliminations on
-    the rhs, then x = invD b. rhs layout (Db, K, CT)."""
+    the rhs (levels as a fori_loop), then x = invD b. rhs (Db, K, CT)."""
     L = _num_levels(T)
-    b = TF(bhi[...], blo[...])
-    for lev in range(L):
-        s = 1 << lev
-        r = slice(lev * Db, (lev + 1) * Db)
+    b0 = TF(bhi[...], blo[...])
+
+    def level(lev, b):
+        s = jax.lax.shift_left(jnp.int32(1), jnp.int32(lev))
+        r = pl.ds(lev * Db, Db)
         E = TF(ehi[r], elo[r])
         F = TF(fhi[r], flo[r])
-        b = tfm.add(b, tfm.add(_mm(E, _shift(b, s, T)),
-                               _mm(F, _shift(b, -s, T))))
+        return tfm.add(b, tfm.add(_mm(E, _shift(b, s, T, down=True)),
+                                  _mm(F, _shift(b, s, T, down=False))))
+
+    b = (
+        jax.lax.fori_loop(jnp.int32(0), jnp.int32(L), level, b0)
+        if L > 0
+        else b0
+    )
     x = _mm(TF(ivhi[...], ivlo[...]), b)
     xhi[...], xlo[...] = x.hi, x.lo
 
@@ -251,6 +293,16 @@ def _to_lanes(a):
     return jnp.transpose(a, (2, 3, 0, 1)).reshape(a.shape[2], a.shape[3], C * T)
 
 
+def _pad_chains(C: int, T: int) -> int:
+    """Chains to add so the lane axis C*T is 128-aligned (Mosaic rejects
+    unaligned lane shapes). Padding comes as whole decoupled identity
+    chains so the lane%T masks stay valid (T is a power of two)."""
+    if T >= 128:
+        return 0  # T is a power of two >= 128: always aligned
+    group = 128 // T
+    return (-C) % group
+
+
 def ppcr_factor_pallas(D: TF, U: TF, interpret=None) -> PPCRFactors:
     """Factor C independent block-tridiagonal systems in one launch.
 
@@ -261,16 +313,26 @@ def ppcr_factor_pallas(D: TF, U: TF, interpret=None) -> PPCRFactors:
     L = max(_num_levels(T), 1)
     if interpret is None:
         interpret = _interpret_default()
+    extra = _pad_chains(C, T)
+    if extra:
+        eye = jnp.broadcast_to(
+            jnp.eye(Db, dtype=jnp.float32), (extra, T, Db, Db)
+        )
+        zb = jnp.zeros((extra, T, Db, Db), jnp.float32)
+        D = TF(jnp.concatenate([D.hi, eye]), jnp.concatenate([D.lo, zb]))
+        U = TF(jnp.concatenate([U.hi, zb]), jnp.concatenate([U.lo, zb]))
+        C = C + extra
     args = (_to_lanes(D.hi), _to_lanes(D.lo), _to_lanes(U.hi), _to_lanes(U.lo))
     shp = jax.ShapeDtypeStruct((L * Db, Db, C * T), jnp.float32)
     shp_iv = jax.ShapeDtypeStruct((Db, Db, C * T), jnp.float32)
-    ehi, elo, fhi, flo, ivhi, ivlo = pl.pallas_call(
-        functools.partial(_factor_kernel, Db=Db, T=T),
-        in_specs=[_vspec()] * 4,
-        out_specs=(_vspec(),) * 6,
-        out_shape=(shp, shp, shp, shp, shp_iv, shp_iv),
-        interpret=interpret,
-    )(*args)
+    with tfm.no_barriers():
+        ehi, elo, fhi, flo, ivhi, ivlo = pl.pallas_call(
+            functools.partial(_factor_kernel, Db=Db, T=T),
+            in_specs=[_vspec()] * 4,
+            out_specs=(_vspec(),) * 6,
+            out_shape=(shp, shp, shp, shp, shp_iv, shp_iv),
+            interpret=interpret,
+        )(*args)
     return PPCRFactors(E=TF(ehi, elo), F=TF(fhi, flo), invD=TF(ivhi, ivlo))
 
 
@@ -283,6 +345,12 @@ def ppcr_solve_pallas(factors: PPCRFactors, rhs: TF, interpret=None) -> TF:
     C, T, Db, K = rhs.hi.shape
     if interpret is None:
         interpret = _interpret_default()
+    CTf = factors.invD.hi.shape[-1]  # factor lane count (128-aligned)
+    if CTf != C * T:  # factor was chain-padded: pad the rhs to match
+        extra = CTf // T - C
+        z = jnp.zeros((extra, T, Db, K), jnp.float32)
+        rhs = TF(jnp.concatenate([rhs.hi, z]), jnp.concatenate([rhs.lo, z]))
+    Corig, C = C, CTf // T
     CT = C * T
     Kc = max(1, min(K, (2 << 20) // (Db * CT * 4)))
 
@@ -292,14 +360,15 @@ def ppcr_solve_pallas(factors: PPCRFactors, rhs: TF, interpret=None) -> TF:
     def launch(bh, bl):
         kk = bh.shape[1]
         shp = jax.ShapeDtypeStruct((Db, kk, CT), jnp.float32)
-        return pl.pallas_call(
-            functools.partial(_solve_kernel, Db=Db, T=T),
-            in_specs=[_vspec()] * 8,
-            out_specs=(_vspec(), _vspec()),
-            out_shape=(shp, shp),
-            interpret=interpret,
-        )(factors.E.hi, factors.E.lo, factors.F.hi, factors.F.lo,
-          factors.invD.hi, factors.invD.lo, bh, bl)
+        with tfm.no_barriers():
+            return pl.pallas_call(
+                functools.partial(_solve_kernel, Db=Db, T=T),
+                in_specs=[_vspec()] * 8,
+                out_specs=(_vspec(), _vspec()),
+                out_shape=(shp, shp),
+                interpret=interpret,
+            )(factors.E.hi, factors.E.lo, factors.F.hi, factors.F.lo,
+              factors.invD.hi, factors.invD.lo, bh, bl)
 
     outs_hi, outs_lo = [], []
     for k0 in range(0, K, Kc):
@@ -309,6 +378,6 @@ def ppcr_solve_pallas(factors: PPCRFactors, rhs: TF, interpret=None) -> TF:
         outs_lo.append(xl)
     xhi = jnp.concatenate(outs_hi, axis=1) if len(outs_hi) > 1 else outs_hi[0]
     xlo = jnp.concatenate(outs_lo, axis=1) if len(outs_lo) > 1 else outs_lo[0]
-    xhi = jnp.transpose(xhi.reshape(Db, K, C, T), (2, 3, 0, 1))
-    xlo = jnp.transpose(xlo.reshape(Db, K, C, T), (2, 3, 0, 1))
+    xhi = jnp.transpose(xhi.reshape(Db, K, C, T), (2, 3, 0, 1))[:Corig]
+    xlo = jnp.transpose(xlo.reshape(Db, K, C, T), (2, 3, 0, 1))[:Corig]
     return TF(xhi, xlo)

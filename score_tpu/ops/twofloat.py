@@ -32,7 +32,43 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import contextlib
+
+import jax
 import jax.numpy as jnp
+
+_BARRIERS = [True]
+
+
+@contextlib.contextmanager
+def no_barriers():
+    """Trace-time switch: drop the anti-fusion barriers.
+
+    Used around Pallas kernel bodies — Mosaic neither supports
+    ``optimization_barrier`` nor performs the XLA fusion rewrites the
+    barriers exist to block.
+    """
+    _BARRIERS.append(False)
+    try:
+        yield
+    finally:
+        _BARRIERS.pop()
+
+
+def _opaque(x):
+    """Hide a value from XLA's rewrite machinery.
+
+    Error-free transforms depend on every intermediate being the ROUNDED
+    f32 value of its expression. XLA:CPU contracts mul->add chains into
+    FMAs across fusion boundaries (measured: ``x*y - c`` compiles to an
+    fma), which skips exactly those roundings and silently degrades
+    compensated results toward working precision. The barrier pins the
+    value; it costs no arithmetic. Under :func:`no_barriers` (Pallas
+    kernels) it is the identity.
+    """
+    if not _BARRIERS[-1]:
+        return x
+    return jax.lax.optimization_barrier(x)
 
 __all__ = [
     "TF",
@@ -90,24 +126,29 @@ def to_f64(a: TF):
 
 def _two_sum(a, b):
     s = a + b
-    bb = s - a
-    return s, (a - (s - bb)) + (b - bb)
+    bb = _opaque(s - a)
+    return s, (a - _opaque(s - bb)) + (b - bb)
 
 
 def _quick_two_sum(a, b):
     # requires |a| >= |b| (or a == 0)
     s = a + b
-    return s, b - (s - a)
+    return s, b - _opaque(s - a)
 
 
 def _split(a):
-    c = jnp.float32(_SPLIT) * a
-    hi = c - (c - a)
+    # c must be the ROUNDED product: without the barrier the compiler may
+    # contract `c - x` into fma(_SPLIT, a, -x), which skips the rounding
+    # the Veltkamp split is built on (measured on XLA:CPU).
+    c = _opaque(jnp.float32(_SPLIT) * a)
+    hi = c - _opaque(c - a)
     return hi, a - hi
 
 
 def _two_prod(a, b):
-    p = a * b
+    # p pinned for the same reason as _split's c: downstream `p + x` must
+    # see the rounded product, not an fma-contracted exact one
+    p = _opaque(a * b)
     ah, al = _split(a)
     bh, bl = _split(b)
     return p, ((ah * bh - p) + ah * bl + al * bh) + al * bl

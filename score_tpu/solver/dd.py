@@ -66,11 +66,22 @@ def _effective_nmant(dtype) -> int:
     return nmant
 
 
+def _opaque(x):
+    """Hide a value from XLA's algebraic simplifier: patterns like
+    ``(a + b) - a`` and ``c - (c - a)`` can be folded by value-based
+    rewrites inside large fused graphs (measured on XLA:CPU), which
+    silently turns every compensated reduction back into the naive one.
+    The barrier pins the rounding semantics; it costs no arithmetic."""
+    import jax
+
+    return jax.lax.optimization_barrier(x)
+
+
 def two_sum(a, b):
     """Error-free sum: returns (s, e) with s = fl(a + b), s + e = a + b."""
     s = a + b
-    bb = s - a
-    e = (a - (s - bb)) + (b - bb)
+    bb = _opaque(s - a)
+    e = (a - _opaque(s - bb)) + (b - bb)
     return s, e
 
 
@@ -79,15 +90,17 @@ def _split(a):
     mantissa (splitting constant 2^ceil(p/2) + 1 for p mantissa bits)."""
     bits = _effective_nmant(a.dtype)  # 52 for f64, 23 for f32/TPU-f64
     factor = jnp.asarray(float(2 ** ((bits + 2) // 2) + 1), dtype=a.dtype)
-    c = factor * a
-    hi = c - (c - a)
+    # the barrier pins the ROUNDED product: fma contraction of `c - x`
+    # would skip the rounding the Veltkamp split is built on
+    c = _opaque(factor * a)
+    hi = c - _opaque(c - a)
     lo = a - hi
     return hi, lo
 
 
 def two_prod(a, b):
     """Error-free product: returns (p, e) with p = fl(a * b), p + e = a*b."""
-    p = a * b
+    p = _opaque(a * b)  # pinned: downstream uses must see the ROUNDED product
     ah, al = _split(a)
     bh, bl = _split(b)
     e = ((ah * bh - p) + ah * bl + al * bh) + al * bl

@@ -26,11 +26,44 @@ from score_tpu.solver.linops import G_apply
 from tests.conftest import GOATS_PICKLE
 
 
+def _truncate(fg, n_poses):
+    """First n_poses of the (single-chain) GOATS graph plus every
+    measurement among the kept variables — keeps the pinned-odometry-chain
+    conditioning regime (kappa ~ T^2 * weight spread) at test-size cost."""
+    import copy
+
+    out = copy.copy(fg)
+    kept_chain = fg.pose_variables[0][:n_poses]
+    kept = {p.name for p in kept_chain}
+    kept |= {l.name for l in fg.landmark_variables}
+    out.pose_variables = [kept_chain]
+    out.odom_measurements = [
+        [m for m in fg.odom_measurements[0]
+         if m.base_pose in kept and m.to_pose in kept]
+    ]
+    out.loop_closure_measurements = [
+        m for m in fg.loop_closure_measurements
+        if m.base_pose in kept and m.to_pose in kept
+    ]
+    seen = set()
+    ranges = []
+    for r in fg.range_measurements:
+        key = (r.first_key, r.second_key)
+        if r.first_key in kept and r.second_key in kept and key not in seen:
+            seen.add(key)
+            ranges.append(r)
+    out.range_measurements = ranges
+    return out
+
+
 @pytest.fixture(scope="module")
 def goats_problem():
     from score_tpu.fg import parse_pickle_file
 
-    fg = parse_pickle_file(GOATS_PICKLE)
+    # truncated to keep XLA-CPU test compiles small; the chain keeps
+    # kappa >> 1/eps32, which is the regime these tests exist to pin
+    # (full-GOATS mixed solves are covered by the verify recipe / bench)
+    fg = _truncate(parse_pickle_file(GOATS_PICKLE), 180)
     fg, _ = normalize_factor_graph(fg)
     problem, idx = build_conic_problem(fg, "SOCP")
     return problem, build_chain_arrow(problem, idx)
