@@ -210,49 +210,46 @@ def _block_inv(D: TF, Db: int) -> TF:
 # ------------------------------------------------------------------ #
 
 
-def _factor_kernel(dhi, dlo, uhi, ulo,
-                   ehi, elo, fhi, flo, ivhi, ivlo, *, Db: int, T: int):
-    """PCR factorization over all chains at once, levels as a
-    ``lax.fori_loop`` (unrolling all levels blows Mosaic compile time at
-    chain scale; dynamic lane rotates + dynamic-slice stores keep the
-    kernel body level-independent). Refs: inputs (Db, Db, CT); outputs
-    E/F (L*Db, Db, CT) with level `lev` in rows [lev*Db, (lev+1)*Db),
-    invD (Db, Db, CT). Traced under ``tfm.no_barriers()`` by the caller
-    (Mosaic has no optimization_barrier and needs none)."""
-    L = _num_levels(T)
+def _factor_level_kernel(s_ref, dhi, dlo, ahi, alo, chi, clo,
+                         ehi, elo, fhi, flo,
+                         d2hi, d2lo, a2hi, a2lo, c2hi, c2lo,
+                         *, Db: int, T: int):
+    """One PCR level over all chains: consumes (D, A, C), emits the
+    elimination blocks (E, F) and the reduced (D', A', C'). The shift
+    s = 2^level arrives as an SMEM scalar so ONE compiled kernel serves
+    every level — and the per-level working set (a handful of two-float
+    block arrays + matmul temporaries) stays inside the VMEM budget,
+    which a fused all-levels kernel exceeds at GOATS scale (measured
+    22.3 MB needed vs the 16 MB per-core limit).
+
+    Traced under ``tfm.no_barriers()`` by the caller (Mosaic has no
+    optimization_barrier and needs none)."""
+    s = s_ref[0]
     D = TF(dhi[...], dlo[...])
-    U = TF(uhi[...], ulo[...])
-    A = _shift(_transpose_blocks(U), 1, T, down=True)  # A_i = U_{i-1}^T
-    C = U
-
-    def level(lev, carry):
-        D, A, C = carry
-        s = jax.lax.shift_left(jnp.int32(1), jnp.int32(lev))
-        invD = _block_inv(D, Db)
-        E = tfm.neg(_mm(A, _shift(invD, s, T, down=True)))
-        F = tfm.neg(_mm(C, _shift(invD, s, T, down=False)))
-        r = pl.ds(lev * Db, Db)
-        ehi[r], elo[r] = E.hi, E.lo
-        fhi[r], flo[r] = F.hi, F.lo
-        D = tfm.add(D, tfm.add(_mm(E, _shift(C, s, T, down=True)),
-                               _mm(F, _shift(A, s, T, down=False))))
-        A = _mm(E, _shift(A, s, T, down=True))
-        C = _mm(F, _shift(C, s, T, down=False))
-        return (D, A, C)
-
-    if L > 0:
-        # i32 loop bounds: under x64 a default fori_loop carries an i64
-        # induction variable, and Mosaic's convert rule recurses forever
-        # trying to lower i64 arithmetic
-        D, A, C = jax.lax.fori_loop(
-            jnp.int32(0), jnp.int32(L), level, (D, A, C)
-        )
-    else:  # T == 1: no levels; zero-fill the (1-level) output pad
-        z = jnp.zeros_like(dhi[...])
-        ehi[0:Db], elo[0:Db] = z, z
-        fhi[0:Db], flo[0:Db] = z, z
+    A = TF(ahi[...], alo[...])
+    C = TF(chi[...], clo[...])
     invD = _block_inv(D, Db)
+    E = tfm.neg(_mm(A, _shift(invD, s, T, down=True)))
+    F = tfm.neg(_mm(C, _shift(invD, s, T, down=False)))
+    ehi[...], elo[...] = E.hi, E.lo
+    fhi[...], flo[...] = F.hi, F.lo
+    D2 = tfm.add(D, tfm.add(_mm(E, _shift(C, s, T, down=True)),
+                            _mm(F, _shift(A, s, T, down=False))))
+    A2 = _mm(E, _shift(A, s, T, down=True))
+    C2 = _mm(F, _shift(C, s, T, down=False))
+    d2hi[...], d2lo[...] = D2.hi, D2.lo
+    a2hi[...], a2lo[...] = A2.hi, A2.lo
+    c2hi[...], c2lo[...] = C2.hi, C2.lo
+
+
+def _block_inv_kernel(dhi, dlo, ivhi, ivlo, *, Db: int):
+    invD = _block_inv(TF(dhi[...], dlo[...]), Db)
     ivhi[...], ivlo[...] = invD.hi, invD.lo
+
+
+def _init_A_kernel(uhi, ulo, ahi, alo, *, T: int):
+    A = _shift(_transpose_blocks(TF(uhi[...], ulo[...])), 1, T, down=True)
+    ahi[...], alo[...] = A.hi, A.lo
 
 
 def _solve_kernel(ehi, elo, fhi, flo, ivhi, ivlo, bhi, blo,
@@ -310,7 +307,6 @@ def ppcr_factor_pallas(D: TF, U: TF, interpret=None) -> PPCRFactors:
     identity/zero padded to a power-of-two T, U[:, T-1] = 0).
     """
     C, T, Db, _ = D.hi.shape
-    L = max(_num_levels(T), 1)
     if interpret is None:
         interpret = _interpret_default()
     extra = _pad_chains(C, T)
@@ -322,18 +318,58 @@ def ppcr_factor_pallas(D: TF, U: TF, interpret=None) -> PPCRFactors:
         D = TF(jnp.concatenate([D.hi, eye]), jnp.concatenate([D.lo, zb]))
         U = TF(jnp.concatenate([U.hi, zb]), jnp.concatenate([U.lo, zb]))
         C = C + extra
-    args = (_to_lanes(D.hi), _to_lanes(D.lo), _to_lanes(U.hi), _to_lanes(U.lo))
-    shp = jax.ShapeDtypeStruct((L * Db, Db, C * T), jnp.float32)
-    shp_iv = jax.ShapeDtypeStruct((Db, Db, C * T), jnp.float32)
+    CT = C * T
+    shp_b = jax.ShapeDtypeStruct((Db, Db, CT), jnp.float32)
+    levels = _num_levels(T)
+
+    dhi, dlo = _to_lanes(D.hi), _to_lanes(D.lo)
+    uhi, ulo = _to_lanes(U.hi), _to_lanes(U.lo)
+
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     with tfm.no_barriers():
-        ehi, elo, fhi, flo, ivhi, ivlo = pl.pallas_call(
-            functools.partial(_factor_kernel, Db=Db, T=T),
-            in_specs=[_vspec()] * 4,
-            out_specs=(_vspec(),) * 6,
-            out_shape=(shp, shp, shp, shp, shp_iv, shp_iv),
+        if levels > 0:
+            ahi, alo = pl.pallas_call(
+                functools.partial(_init_A_kernel, T=T),
+                in_specs=[_vspec()] * 2,
+                out_specs=(_vspec(), _vspec()),
+                out_shape=(shp_b, shp_b),
+                interpret=interpret,
+            )(uhi, ulo)
+            chi, clo = uhi, ulo
+            level_call = pl.pallas_call(
+                functools.partial(_factor_level_kernel, Db=Db, T=T),
+                in_specs=[smem] + [_vspec()] * 6,
+                out_specs=(_vspec(),) * 10,
+                out_shape=(shp_b,) * 10,
+                interpret=interpret,
+            )
+            Es, Fs = [], []
+            for lev in range(levels):
+                s = jnp.asarray([1 << lev], jnp.int32)
+                (ehi, elo, fhi, flo, dhi, dlo, ahi, alo, chi, clo) = (
+                    level_call(s, dhi, dlo, ahi, alo, chi, clo)
+                )
+                Es.append((ehi, elo))
+                Fs.append((fhi, flo))
+            E = TF(
+                jnp.concatenate([e[0] for e in Es], axis=0),
+                jnp.concatenate([e[1] for e in Es], axis=0),
+            )
+            F = TF(
+                jnp.concatenate([f[0] for f in Fs], axis=0),
+                jnp.concatenate([f[1] for f in Fs], axis=0),
+            )
+        else:  # T == 1: no levels; a 1-level zero pad keeps shapes static
+            z = jnp.zeros((Db, Db, CT), jnp.float32)
+            E = F = TF(z, z)
+        ivhi, ivlo = pl.pallas_call(
+            functools.partial(_block_inv_kernel, Db=Db),
+            in_specs=[_vspec()] * 2,
+            out_specs=(_vspec(), _vspec()),
+            out_shape=(shp_b, shp_b),
             interpret=interpret,
-        )(*args)
-    return PPCRFactors(E=TF(ehi, elo), F=TF(fhi, flo), invD=TF(ivhi, ivlo))
+        )(dhi, dlo)
+    return PPCRFactors(E=E, F=F, invD=TF(ivhi, ivlo))
 
 
 def ppcr_solve_pallas(factors: PPCRFactors, rhs: TF, interpret=None) -> TF:

@@ -71,7 +71,9 @@ def goats_problem():
 
 def test_mixed_kkt_solve_residual_at_goats_conditioning(goats_problem):
     problem, st = goats_problem
-    params = IPMParams()
+    # one inner refinement pass (the IPM's own direction-level refinement
+    # plays this role in production; backend.solve honors the knob)
+    params = IPMParams(kkt_refine_steps=1)
     state = MixedChainArrowBackend.prepare(problem, st)
     N, k = problem.num_cones, problem.k
     eyes = jnp.broadcast_to(jnp.eye(k, dtype=jnp.float64), (N, k, k))
