@@ -28,6 +28,18 @@ GOATS = "/root/reference/examples/goats_14_data/goats_14_6_2002_15_20.pkl"
 
 
 def main() -> None:
+    # host assembly is ~3x faster through the native extension; build it
+    # on first use (best-effort — the pure-python fallback is correct)
+    try:
+        from score_tpu.native import _fastbuild  # noqa: F401
+    except ImportError:
+        import subprocess
+
+        subprocess.run(
+            [sys.executable, "-m", "score_tpu.native.build"],
+            check=False, capture_output=True,
+        )
+
     from score_tpu.api import ScoreSolverParams, solve_score
     from score_tpu.fg import parse_pickle_file
 

@@ -336,22 +336,48 @@ def build_conic_problem(
                 coefs = [1.0, -1.0] + [-tm[kk] for kk in range(d)]
                 add_row(cols, coefs, 0.0, kij)
 
-    # ---- range costs -------------------------------------------------- #
-    for m, meas in enumerate(fg.range_measurements):
-        prec = float(meas.precision)
-        dist = float(meas.dist)
-        dcols = idx.dist_cols(m)
+    # ---- range costs (vectorized: M is the largest row family) -------- #
+    M_r = len(fg.range_measurements)
+    if M_r:
+        prec_v = np.array(
+            [float(m.precision) for m in fg.range_measurements], dtype=dtype
+        )
+        dist_v = np.array(
+            [float(m.dist) for m in fg.range_measurements], dtype=dtype
+        )
+        ta_v = np.stack(
+            [idx.translation_cols(m.first_key) for m in fg.range_measurements]
+        )
+        tb_v = np.stack(
+            [idx.translation_cols(m.second_key) for m in fg.range_measurements]
+        )
+        dcols_v = idx.distance_offset + np.arange(
+            M_r * idx.dist_size, dtype=np.int64
+        ).reshape(M_r, idx.dist_size)
         if relaxation == SOCP_RELAXATION:
             # precision * (d_m - dist)^2  (expanded at :486-487; same
             # quadratic, we keep the exact constant in c0 via b)
-            add_row([dcols[0]], [1.0], dist, prec)
+            pc = np.full((M_r, nnz), n, dtype=np.int64)
+            pv = np.zeros((M_r, nnz), dtype=dtype)
+            pc[:, 0] = dcols_v[:, 0]
+            pv[:, 0] = 1.0
+            rows_cols.extend(pc)
+            rows_coefs.extend(pv)
+            rows_b.extend(dist_v)
+            rows_w.extend(prec_v)
         else:
-            ta = idx.translation_cols(meas.first_key)
-            tb = idx.translation_cols(meas.second_key)
-            for r in range(d):
-                add_row(
-                    [ta[r], tb[r], dcols[r]], [1.0, -1.0, -dist], 0.0, prec
-                )
+            pc = np.full((M_r, d, nnz), n, dtype=np.int64)
+            pv = np.zeros((M_r, d, nnz), dtype=dtype)
+            pc[:, :, 0] = ta_v
+            pc[:, :, 1] = tb_v
+            pc[:, :, 2] = dcols_v
+            pv[:, :, 0] = 1.0
+            pv[:, :, 1] = -1.0
+            pv[:, :, 2] = -dist_v[:, None]
+            rows_cols.extend(pc.reshape(M_r * d, nnz))
+            rows_coefs.extend(pv.reshape(M_r * d, nnz))
+            rows_b.extend(np.zeros(M_r * d, dtype=dtype))
+            rows_w.extend(np.repeat(prec_v, d))
 
     # ---- landmark priors ---------------------------------------------- #
     for prior in fg.landmark_priors:
@@ -361,31 +387,26 @@ def build_conic_problem(
         for r in range(d):
             add_row([lcols[r]], [1.0], pv[r], prec)
 
-    # ---- cones --------------------------------------------------------- #
+    # ---- cones (vectorized over the M ranges) -------------------------- #
     k = d + 1
     N = idx.num_ranges
     cone_cols = np.full((N, k, 2), n, dtype=np.int64)
     cone_coefs = np.zeros((N, k, 2), dtype=dtype)
     cone_h = np.zeros((N, k), dtype=dtype)
-    for m, meas in enumerate(fg.range_measurements):
-        dcols = idx.dist_cols(m)
+    if N:
         if relaxation == SOCP_RELAXATION:
             # s = (d_m, t_a - t_b) in SOC  (gurobi_utils.py:345-352)
-            cone_cols[m, 0, 0] = dcols[0]
-            cone_coefs[m, 0, 0] = -1.0
-            ta = idx.translation_cols(meas.first_key)
-            tb = idx.translation_cols(meas.second_key)
-            for r in range(d):
-                cone_cols[m, 1 + r, 0] = ta[r]
-                cone_coefs[m, 1 + r, 0] = -1.0
-                cone_cols[m, 1 + r, 1] = tb[r]
-                cone_coefs[m, 1 + r, 1] = 1.0
+            cone_cols[:, 0, 0] = dcols_v[:, 0]
+            cone_coefs[:, 0, 0] = -1.0
+            cone_cols[:, 1:, 0] = ta_v
+            cone_coefs[:, 1:, 0] = -1.0
+            cone_cols[:, 1:, 1] = tb_v
+            cone_coefs[:, 1:, 1] = 1.0
         else:
             # s = (1, d_m) in SOC  <=>  ||d_m|| <= 1  (:341-344)
-            cone_h[m, 0] = 1.0
-            for r in range(d):
-                cone_cols[m, 1 + r, 0] = dcols[r]
-                cone_coefs[m, 1 + r, 0] = -1.0
+            cone_h[:, 0] = 1.0
+            cone_cols[:, 1:, 0] = dcols_v
+            cone_coefs[:, 1:, 0] = -1.0
 
     # ---- gauge pin: first pose of the first nonempty chain ------------- #
     first_chain = next(c for c in fg.pose_variables if c)

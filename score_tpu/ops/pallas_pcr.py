@@ -96,11 +96,12 @@ def _num_levels(T: int) -> int:
 
 
 def ppcr_vmem_bytes(C: int, T: int, Db: int) -> int:
-    """Rough resident-bytes estimate for the factor kernel (inputs +
-    outputs + working set), used for the Pallas-vs-jnp fallback choice."""
+    """Rough resident-bytes estimate for the SOLVE kernel — the binding
+    constraint now that the factor runs one kernel per level. Used for
+    the Pallas-vs-fallback choice (per-core VMEM is 16 MB)."""
     L = max(_num_levels(T), 1)
-    ef = 4 * L * Db * Db * C * T * 4  # E/F hi+lo
-    io = 8 * Db * Db * C * T * 4  # D/U/invD hi+lo + work
+    ef = 4 * L * Db * Db * C * T * 4  # E/F hi+lo, fully resident
+    io = 6 * Db * Db * C * T * 4  # invD + rhs/work
     return ef + io
 
 

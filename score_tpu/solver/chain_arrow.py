@@ -323,7 +323,7 @@ def build_chain_arrow(
         col = int(cost_cols_np[prior_row_base[j], 0])
         prior_diag_sites[j] = (col - idx.landmark_offset) // d
 
-    # --- range endpoint maps ---------------------------------------------
+    # --- range endpoint maps (vectorized over the NR ranges) -------------
     end_a_cols = np.full((NR, d), n, dtype=np.int64)
     end_b_cols = np.full((NR, d), n, dtype=np.int64)
     oh_pose_a = np.zeros((NR, C * T))
@@ -334,26 +334,42 @@ def build_chain_arrow(
     oh_chain_b = np.zeros((NR, C * T))
     oh_arrow_a = np.zeros((NR, max(NTB, 1)))
     oh_arrow_b = np.zeros((NR, max(NTB, 1)))
-    for m, (a, b) in enumerate(idx.dist_keys):
-        for name, ec, ohp, ohl, ohc, oha in (
-            (a, end_a_cols, oh_pose_a, oh_lm_a, oh_chain_a, oh_arrow_a),
-            (b, end_b_cols, oh_pose_b, oh_lm_b, oh_chain_b, oh_arrow_b),
+    if NR:
+        # per-endpoint index tables (python dict lookups once per range;
+        # all one-hot scatters below are single fancy-index assignments)
+        slot_of_pose = np.full(max(len(pose_cpos), 1), -1, dtype=np.int64)
+        tsite_arr = np.full(max(len(pose_cpos), 1), -1, dtype=np.int64)
+        for g, (c, t) in pose_cpos.items():
+            slot_of_pose[g] = c * T + t
+        for p_, site in tsite_of_pose.items():
+            tsite_arr[p_] = site
+        m_idx = np.arange(NR)
+        for keys_pos, ec, ohp, ohl, ohc, oha in (
+            (0, end_a_cols, oh_pose_a, oh_lm_a, oh_chain_a, oh_arrow_a),
+            (1, end_b_cols, oh_pose_b, oh_lm_b, oh_chain_b, oh_arrow_b),
         ):
-            ec[m] = np.asarray(idx.translation_cols(name))
+            names = [key[keys_pos] for key in idx.dist_keys]
+            ec[:] = np.stack([idx.translation_cols(nm) for nm in names])
             # pose-first dispatch, consistent with
             # VariableIndex.translation_cols (gurobi_utils.py:103-109)
-            if name not in name_to_pose and name in name_to_lm:
-                l = name_to_lm[name]
-                ohl[m, l] = 1.0
-                oha[m, l] = 1.0
-            else:
-                p = name_to_pose[name]
-                c, t = pose_cpos[p]
-                ohp[m, c * T + t] = 1.0
-                if p in tsite_of_pose:
-                    oha[m, tsite_of_pose[p]] = 1.0
-                else:
-                    ohc[m, c * T + t] = 1.0
+            is_pose = np.array([nm in name_to_pose for nm in names])
+            pidx_v = np.array(
+                [name_to_pose.get(nm, 0) for nm in names], dtype=np.int64
+            )
+            lidx_v = np.array(
+                [name_to_lm.get(nm, 0) if nm not in name_to_pose else 0
+                 for nm in names],
+                dtype=np.int64,
+            )
+            lm_rows = m_idx[~is_pose]
+            ohl[lm_rows, lidx_v[~is_pose]] = 1.0
+            oha[lm_rows, lidx_v[~is_pose]] = 1.0
+            p_rows = m_idx[is_pose]
+            p_sel = pidx_v[is_pose]
+            ohp[p_rows, slot_of_pose[p_sel]] = 1.0
+            in_arrow = tsite_arr[p_sel] >= 0
+            oha[p_rows[in_arrow], tsite_arr[p_sel[in_arrow]]] = 1.0
+            ohc[p_rows[~in_arrow], slot_of_pose[p_sel[~in_arrow]]] = 1.0
 
     # --- relative-pose local-position one-hot (static pattern from
     # assembly/conic: local pose layout col-major [R | t], pose_i at
@@ -903,15 +919,19 @@ class ChainArrowBackend:
             Up = Up.at[:, : T - 1].set(Ug)
         Bp = jnp.zeros((C, Tp, D, A), dtype=dtype).at[:, :T].set(Bg)
 
-        # fused Pallas kernels need the factors VMEM-resident (gridless on
-        # this toolchain); fall back to the jnp two-float path beyond ~12MB
-        pallas_fits = ppcr_vmem_bytes(C, Tp, D) < 12 * 2**20
+        # Two-float band selection: the fused Pallas kernels need the
+        # solve-kernel working set VMEM-resident (gridless toolchain,
+        # 16 MB/core). When they can't serve the shape, TPU degrades to
+        # the plain f64 band (the jnp two-float path is dispatch-bound
+        # there); CPU keeps the jnp two-float path (tests, reference).
+        pallas_fits = ppcr_vmem_bytes(C, Tp, D) < 14 * 2**20
+        on_tpu = jax.default_backend() == "tpu"
         if use_tf and _use_pallas_pcr() and pallas_fits:
             pcrf = ppcr_factor_pallas(tfm.from_f64(Dp), tfm.from_f64(Up))
             Z = tfm.to_f64(
                 ppcr_solve_pallas(pcrf, tfm.from_f64(Bp))
             ).astype(dtype)
-        elif use_tf:
+        elif use_tf and not on_tpu:
             pcrf = jax.vmap(pcr_factor_tf)(tfm.from_f64(Dp), tfm.from_f64(Up))
             Z = tfm.to_f64(
                 jax.vmap(pcr_solve_tf)(pcrf, tfm.from_f64(Bp))

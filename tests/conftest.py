@@ -38,6 +38,21 @@ assert len(jax.devices()) == 8, "expected the virtual 8-device CPU mesh"
 
 import pytest  # noqa: E402
 
+
+@pytest.fixture(autouse=True, scope="module")
+def _release_compiled_executables():
+    """Free compiled executables between test modules.
+
+    One long pytest process accumulates hundreds of XLA:CPU compiles; the
+    compiler has been observed to segfault partway through the suite
+    (inside backend_compile_and_load, reproducibly around the ~90th test,
+    while the same test passes standalone). Releasing executables between
+    modules keeps the compiler's resident state bounded.
+    """
+    yield
+    jax.clear_caches()
+
+
 GOATS_PICKLE = "/root/reference/examples/goats_14_data/goats_14_6_2002_15_20.pkl"
 MANHATTAN_PICKLE = "/root/reference/examples/manhattan/factor_graph.pickle"
 GOATS_GT_TUM = "/root/reference/examples/goats_14_data/gt_traj_A.tum"
