@@ -10,6 +10,7 @@ interior-point solver in :mod:`score_tpu.solver.ipm` instead of Gurobi.
 
 from __future__ import annotations
 
+import dataclasses
 import logging
 import os
 import time
@@ -239,6 +240,17 @@ def solve_score(
 
     results = extract_solver_results(result, idx, data, total_time, relaxation_type)
     results = unscale_results(results, scale)
+    if params.refine:
+        # downstream nonlinear refinement on the rounded initialization
+        # (the reference pipeline's GTSAM stage, README.md:57-63)
+        from score_tpu.refine import refine_solution
+
+        refined = refine_solution(data, results.variables)
+        results = dataclasses.replace(
+            results,
+            variables=refined.values,
+            total_time=time.perf_counter() - t0,
+        )
     if params.save_results and params.results_filepath:
         save_results_to_file(results, params.results_filepath)
     return results

@@ -64,6 +64,12 @@ class ScoreSolverParams:
     # reparameterization, see assembly/normalize.py).
     normalize: bool = True
 
+    # Run the downstream nonlinear refinement (matrix-free LM on the true
+    # MLE objective, score_tpu.refine) on the rounded solution — the
+    # TPU-native equivalent of the reference pipeline's GTSAM stage
+    # (reference README.md:57-63).
+    refine: bool = False
+
     # KKT backend: "auto" picks the structure-exploiting chain+arrow
     # factorization when the problem supports it (2D, no loop closures)
     # and falls back to dense Cholesky otherwise.

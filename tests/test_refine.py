@@ -71,6 +71,18 @@ def test_refine_decreases_true_cost_from_score_init():
         assert np.linalg.det(R) > 0
 
 
+def test_refine_through_solve_score_api():
+    from score_tpu.api import ScoreSolverParams, solve_score
+
+    fg = _sim(seed=7)
+    base = solve_score(fg, "SOCP", ScoreSolverParams(max_iter=40))
+    refined = solve_score(
+        fg, "SOCP", ScoreSolverParams(max_iter=40, refine=True)
+    )
+    assert refined.solved
+    assert _true_cost(fg, refined.variables) <= _true_cost(fg, base.variables) + 1e-12
+
+
 def test_refine_perturbed_groundtruth_recovers():
     # start from a perturbed ground truth on near-noiseless data: LM must
     # come back to ~the ground truth (cost near the noise floor)
