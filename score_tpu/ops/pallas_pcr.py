@@ -37,11 +37,12 @@ within-chain position lane % T. Two-float values are (hi, lo) pairs of
 f32 arrays (ops/twofloat.py primitives are plain jnp and work unchanged
 inside kernels).
 
-VMEM budget: E/F factors are 4 * L*Db*Db*C*T*4 bytes — ~6 MB for
-GOATS (Db=6, T=1024), ~11 MB for Manhattan-4 (C=4, T=512). Callers
-should fall back to the jnp path when the estimate exceeds ~12 MB
-(see chain_arrow._use_pallas_pcr); wide solve panels are chunked along
-K across separate launches instead (ppcr_solve_pallas).
+VMEM budget: the factorization runs one kernel per level (one compiled
+kernel serves all levels — the shift arrives as an SMEM scalar), and
+chains are chunked into lane-budgeted groups per call (Db*Db*lanes <=
+36*1024, ~9 MB of stack); wide solve panels additionally chunk along K.
+A single chain whose Db*Db*T exceeds the budget is unsupported
+(`ppcr_supported`) and the caller falls back to another band.
 
 Correctness is pinned against dense solves and solver/pcr_tf.py in
 tests (interpret mode on CPU, compiled on TPU).
@@ -70,8 +71,21 @@ __all__ = [
     "PPCRFactors",
     "ppcr_factor_pallas",
     "ppcr_solve_pallas",
-    "ppcr_vmem_bytes",
+    "ppcr_supported",
 ]
+
+# Lane-elements budget per kernel call: Db*Db*CT <= 36 * 1024 keeps the
+# level kernel's VMEM stack ~9 MB (measured: 36 * 2048 needs 18.7 MB,
+# over the 16 MB/core limit). Chains are independent, so wider problems
+# are CHUNKED into groups of chains per call; a single chain whose
+# Db*Db*T exceeds the budget cannot be chunked and is unsupported (the
+# caller falls back to another band implementation).
+_LANE_ELEMS_MAX = 36 * 1024
+
+
+def ppcr_supported(T: int, Db: int) -> bool:
+    """Can the fused kernels serve chains of length T with Db-wide blocks?"""
+    return Db * Db * T <= _LANE_ELEMS_MAX
 
 
 class PPCRFactors(NamedTuple):
@@ -93,16 +107,6 @@ def _num_levels(T: int) -> int:
     while (1 << L) < T:
         L += 1
     return L
-
-
-def ppcr_vmem_bytes(C: int, T: int, Db: int) -> int:
-    """Rough resident-bytes estimate for the SOLVE kernel — the binding
-    constraint now that the factor runs one kernel per level. Used for
-    the Pallas-vs-fallback choice (per-core VMEM is 16 MB)."""
-    L = max(_num_levels(T), 1)
-    ef = 4 * L * Db * Db * C * T * 4  # E/F hi+lo, fully resident
-    io = 6 * Db * Db * C * T * 4  # invD + rhs/work
-    return ef + io
 
 
 # ------------------------------------------------------------------ #
@@ -291,26 +295,41 @@ def _to_lanes(a):
     return jnp.transpose(a, (2, 3, 0, 1)).reshape(a.shape[2], a.shape[3], C * T)
 
 
-def _pad_chains(C: int, T: int) -> int:
-    """Chains to add so the lane axis C*T is 128-aligned (Mosaic rejects
-    unaligned lane shapes). Padding comes as whole decoupled identity
-    chains so the lane%T masks stay valid (T is a power of two)."""
-    if T >= 128:
-        return 0  # T is a power of two >= 128: always aligned
-    group = 128 // T
-    return (-C) % group
+def _chunk_group(C: int, T: int, Db: int) -> int:
+    """Chains per kernel call: each call's lane axis is group*T, chosen so
+    (a) Db*Db*group*T stays inside the per-call VMEM budget, (b) the lane
+    axis is 128-aligned, and (c) no more padding than the problem needs
+    (group never exceeds the next power of two above C unless alignment
+    demands it). Callers pad C to a multiple of the group with decoupled
+    identity chains."""
+    assert ppcr_supported(T, Db)
+    budget = max(1, _LANE_ELEMS_MAX // (Db * Db * T))
+    g2 = 1
+    while g2 * 2 <= budget:
+        g2 *= 2
+    c2 = 1
+    while c2 < C:
+        c2 *= 2
+    group = min(g2, c2)
+    if T * group < 128:  # alignment floor: one 128-lane call minimum
+        group = 128 // T
+    return group
 
 
 def ppcr_factor_pallas(D: TF, U: TF, interpret=None) -> PPCRFactors:
-    """Factor C independent block-tridiagonal systems in one launch.
+    """Factor C independent block-tridiagonal systems.
 
     D, U: TF of shape (C, T, Db, Db) (same convention as solver/pcr.py:
-    identity/zero padded to a power-of-two T, U[:, T-1] = 0).
+    identity/zero padded to a power-of-two T, U[:, T-1] = 0). Chains are
+    processed in lane-budgeted chunks of `_chunk_group(C, T, Db)` chains per
+    kernel call (C padded up with decoupled identity chains); factors
+    keep the padded lane count — the solve pads its rhs to match.
     """
     C, T, Db, _ = D.hi.shape
     if interpret is None:
         interpret = _interpret_default()
-    extra = _pad_chains(C, T)
+    group = _chunk_group(C, T, Db)
+    extra = (-C) % group
     if extra:
         eye = jnp.broadcast_to(
             jnp.eye(Db, dtype=jnp.float32), (extra, T, Db, Db)
@@ -319,84 +338,106 @@ def ppcr_factor_pallas(D: TF, U: TF, interpret=None) -> PPCRFactors:
         D = TF(jnp.concatenate([D.hi, eye]), jnp.concatenate([D.lo, zb]))
         U = TF(jnp.concatenate([U.hi, zb]), jnp.concatenate([U.lo, zb]))
         C = C + extra
-    CT = C * T
-    shp_b = jax.ShapeDtypeStruct((Db, Db, CT), jnp.float32)
     levels = _num_levels(T)
-
-    dhi, dlo = _to_lanes(D.hi), _to_lanes(D.lo)
-    uhi, ulo = _to_lanes(U.hi), _to_lanes(U.lo)
-
+    CTc = group * T  # lanes per chunk
+    shp_b = jax.ShapeDtypeStruct((Db, Db, CTc), jnp.float32)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+
+    init_call = pl.pallas_call(
+        functools.partial(_init_A_kernel, T=T),
+        in_specs=[_vspec()] * 2,
+        out_specs=(_vspec(), _vspec()),
+        out_shape=(shp_b, shp_b),
+        interpret=interpret,
+    )
+    level_call = pl.pallas_call(
+        functools.partial(_factor_level_kernel, Db=Db, T=T),
+        in_specs=[smem] + [_vspec()] * 6,
+        out_specs=(_vspec(),) * 10,
+        out_shape=(shp_b,) * 10,
+        interpret=interpret,
+    )
+    inv_call = pl.pallas_call(
+        functools.partial(_block_inv_kernel, Db=Db),
+        in_specs=[_vspec()] * 2,
+        out_specs=(_vspec(), _vspec()),
+        out_shape=(shp_b, shp_b),
+        interpret=interpret,
+    )
+
+    Ehs, Els, Fhs, Fls, IVhs, IVls = [], [], [], [], [], []
     with tfm.no_barriers():
-        if levels > 0:
-            ahi, alo = pl.pallas_call(
-                functools.partial(_init_A_kernel, T=T),
-                in_specs=[_vspec()] * 2,
-                out_specs=(_vspec(), _vspec()),
-                out_shape=(shp_b, shp_b),
-                interpret=interpret,
-            )(uhi, ulo)
-            chi, clo = uhi, ulo
-            level_call = pl.pallas_call(
-                functools.partial(_factor_level_kernel, Db=Db, T=T),
-                in_specs=[smem] + [_vspec()] * 6,
-                out_specs=(_vspec(),) * 10,
-                out_shape=(shp_b,) * 10,
-                interpret=interpret,
-            )
-            Es, Fs = [], []
-            for lev in range(levels):
-                s = jnp.asarray([1 << lev], jnp.int32)
-                (ehi, elo, fhi, flo, dhi, dlo, ahi, alo, chi, clo) = (
-                    level_call(s, dhi, dlo, ahi, alo, chi, clo)
-                )
-                Es.append((ehi, elo))
-                Fs.append((fhi, flo))
-            E = TF(
-                jnp.concatenate([e[0] for e in Es], axis=0),
-                jnp.concatenate([e[1] for e in Es], axis=0),
-            )
-            F = TF(
-                jnp.concatenate([f[0] for f in Fs], axis=0),
-                jnp.concatenate([f[1] for f in Fs], axis=0),
-            )
-        else:  # T == 1: no levels; a 1-level zero pad keeps shapes static
-            z = jnp.zeros((Db, Db, CT), jnp.float32)
-            E = F = TF(z, z)
-        ivhi, ivlo = pl.pallas_call(
-            functools.partial(_block_inv_kernel, Db=Db),
-            in_specs=[_vspec()] * 2,
-            out_specs=(_vspec(), _vspec()),
-            out_shape=(shp_b, shp_b),
-            interpret=interpret,
-        )(dhi, dlo)
-    return PPCRFactors(E=E, F=F, invD=TF(ivhi, ivlo))
+        for c0 in range(0, C, group):
+            Dc = TF(D.hi[c0:c0 + group], D.lo[c0:c0 + group])
+            Uc = TF(U.hi[c0:c0 + group], U.lo[c0:c0 + group])
+            dhi, dlo = _to_lanes(Dc.hi), _to_lanes(Dc.lo)
+            uhi, ulo = _to_lanes(Uc.hi), _to_lanes(Uc.lo)
+            if levels > 0:
+                ahi, alo = init_call(uhi, ulo)
+                chi, clo = uhi, ulo
+                Es, Fs = [], []
+                for lev in range(levels):
+                    sarg = jnp.asarray([1 << lev], jnp.int32)
+                    (ehi, elo, fhi, flo, dhi, dlo,
+                     ahi, alo, chi, clo) = level_call(
+                        sarg, dhi, dlo, ahi, alo, chi, clo
+                    )
+                    Es.append((ehi, elo))
+                    Fs.append((fhi, flo))
+                Ehs.append(jnp.concatenate([e[0] for e in Es], axis=0))
+                Els.append(jnp.concatenate([e[1] for e in Es], axis=0))
+                Fhs.append(jnp.concatenate([f[0] for f in Fs], axis=0))
+                Fls.append(jnp.concatenate([f[1] for f in Fs], axis=0))
+            else:  # T == 1: no levels; 1-level zero pad keeps shapes static
+                z = jnp.zeros((Db, Db, CTc), jnp.float32)
+                Ehs.append(z); Els.append(z); Fhs.append(z); Fls.append(z)
+            ivhi, ivlo = inv_call(dhi, dlo)
+            IVhs.append(ivhi)
+            IVls.append(ivlo)
+
+    def cat(parts):
+        return parts[0] if len(parts) == 1 else jnp.concatenate(parts, -1)
+
+    return PPCRFactors(
+        E=TF(cat(Ehs), cat(Els)),
+        F=TF(cat(Fhs), cat(Fls)),
+        invD=TF(cat(IVhs), cat(IVls)),
+    )
 
 
 def ppcr_solve_pallas(factors: PPCRFactors, rhs: TF, interpret=None) -> TF:
     """Solve for rhs TF of shape (C, T, Db, K); returns the same shape.
 
-    Wide panels (the chain-arrow coupling solves, K = A up to ~900 on
-    multi-robot problems) are chunked along K into separate launches so
-    the VMEM-resident rhs stays ~2 MB per launch."""
+    Chains are chunked exactly like the factorization (reading each
+    chunk's E/F lane slice); wide panels (the chain-arrow coupling
+    solves, K = A up to ~900 on multi-robot problems) are additionally
+    chunked along K so the VMEM-resident rhs stays ~2 MB per launch."""
     C, T, Db, K = rhs.hi.shape
     if interpret is None:
         interpret = _interpret_default()
-    CTf = factors.invD.hi.shape[-1]  # factor lane count (128-aligned)
+    CTf = factors.invD.hi.shape[-1]  # factor lane count (chunk-padded)
     if CTf != C * T:  # factor was chain-padded: pad the rhs to match
         extra = CTf // T - C
         z = jnp.zeros((extra, T, Db, K), jnp.float32)
         rhs = TF(jnp.concatenate([rhs.hi, z]), jnp.concatenate([rhs.lo, z]))
     Corig, C = C, CTf // T
     CT = C * T
-    Kc = max(1, min(K, (2 << 20) // (Db * CT * 4)))
+    group = _chunk_group(C, T, Db)
+    CTc = group * T
+    # rhs-chunk budget: two-float _mm internals keep ~15 live temporaries
+    # of the (Db, Kc, CTc) operand size, so the operand itself must stay
+    # ~0.4 MB to hold the kernel stack under the 16 MB VMEM limit
+    # (measured: Kc=85 at CTc=1024 needs 36.8 MB)
+    Kc = max(1, min(K, (400 << 10) // (Db * CTc * 4)))
 
     bhi = jnp.transpose(rhs.hi, (2, 3, 0, 1)).reshape(Db, K, CT)
     blo = jnp.transpose(rhs.lo, (2, 3, 0, 1)).reshape(Db, K, CT)
+    L = _num_levels(T)
+    LDb = max(L, 1) * Db
 
-    def launch(bh, bl):
+    def launch(efslices, bh, bl):
         kk = bh.shape[1]
-        shp = jax.ShapeDtypeStruct((Db, kk, CT), jnp.float32)
+        shp = jax.ShapeDtypeStruct((Db, kk, CTc), jnp.float32)
         with tfm.no_barriers():
             return pl.pallas_call(
                 functools.partial(_solve_kernel, Db=Db, T=T),
@@ -404,17 +445,30 @@ def ppcr_solve_pallas(factors: PPCRFactors, rhs: TF, interpret=None) -> TF:
                 out_specs=(_vspec(), _vspec()),
                 out_shape=(shp, shp),
                 interpret=interpret,
-            )(factors.E.hi, factors.E.lo, factors.F.hi, factors.F.lo,
-              factors.invD.hi, factors.invD.lo, bh, bl)
+            )(*efslices, bh, bl)
 
-    outs_hi, outs_lo = [], []
-    for k0 in range(0, K, Kc):
-        k1 = min(K, k0 + Kc)
-        xh, xl = launch(bhi[:, k0:k1], blo[:, k0:k1])
-        outs_hi.append(xh)
-        outs_lo.append(xl)
-    xhi = jnp.concatenate(outs_hi, axis=1) if len(outs_hi) > 1 else outs_hi[0]
-    xlo = jnp.concatenate(outs_lo, axis=1) if len(outs_lo) > 1 else outs_lo[0]
+    outs_hi = [[] for _ in range(0, CT, CTc)]
+    outs_lo = [[] for _ in range(0, CT, CTc)]
+    for ci, l0 in enumerate(range(0, CT, CTc)):
+        sl = slice(l0, l0 + CTc)
+        efslices = (
+            factors.E.hi[:, :, sl], factors.E.lo[:, :, sl],
+            factors.F.hi[:, :, sl], factors.F.lo[:, :, sl],
+            factors.invD.hi[:, :, sl], factors.invD.lo[:, :, sl],
+        )
+        for k0 in range(0, K, Kc):
+            k1 = min(K, k0 + Kc)
+            xh, xl = launch(efslices, bhi[:, k0:k1, sl], blo[:, k0:k1, sl])
+            outs_hi[ci].append(xh)
+            outs_lo[ci].append(xl)
+
+    def cat_k(parts):
+        return parts[0] if len(parts) == 1 else jnp.concatenate(parts, 1)
+
+    xhi = jnp.concatenate([cat_k(p) for p in outs_hi], axis=-1) \
+        if len(outs_hi) > 1 else cat_k(outs_hi[0])
+    xlo = jnp.concatenate([cat_k(p) for p in outs_lo], axis=-1) \
+        if len(outs_lo) > 1 else cat_k(outs_lo[0])
     xhi = jnp.transpose(xhi.reshape(Db, K, C, T), (2, 3, 0, 1))[:Corig]
     xlo = jnp.transpose(xlo.reshape(Db, K, C, T), (2, 3, 0, 1))[:Corig]
     return TF(xhi, xlo)

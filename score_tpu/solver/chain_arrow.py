@@ -67,7 +67,7 @@ from score_tpu.ops.pallas_pcr import (
     PPCRFactors,
     ppcr_factor_pallas,
     ppcr_solve_pallas,
-    ppcr_vmem_bytes,
+    ppcr_supported,
 )
 from score_tpu.solver.linops import G_apply
 from score_tpu.solver.pcr import PCRFactors, pcr_factor, pcr_pad_length, pcr_solve
@@ -919,12 +919,13 @@ class ChainArrowBackend:
             Up = Up.at[:, : T - 1].set(Ug)
         Bp = jnp.zeros((C, Tp, D, A), dtype=dtype).at[:, :T].set(Bg)
 
-        # Two-float band selection: the fused Pallas kernels need the
-        # solve-kernel working set VMEM-resident (gridless toolchain,
-        # 16 MB/core). When they can't serve the shape, TPU degrades to
-        # the plain f64 band (the jnp two-float path is dispatch-bound
-        # there); CPU keeps the jnp two-float path (tests, reference).
-        pallas_fits = ppcr_vmem_bytes(C, Tp, D) < 14 * 2**20
+        # Two-float band selection: the fused Pallas kernels chunk chains
+        # into lane-budgeted calls, so only a single chain too long for
+        # the per-call VMEM budget is unservable. In that case TPU
+        # degrades to the plain f64 band (the jnp two-float path is
+        # dispatch-bound there); CPU keeps the jnp two-float path
+        # (tests, reference).
+        pallas_fits = ppcr_supported(Tp, D)
         on_tpu = jax.default_backend() == "tpu"
         if use_tf and _use_pallas_pcr() and pallas_fits:
             pcrf = ppcr_factor_pallas(tfm.from_f64(Dp), tfm.from_f64(Up))
