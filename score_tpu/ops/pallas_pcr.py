@@ -3,9 +3,9 @@
 The production band factorization of the mixed-precision chain+arrow
 backend. The jnp two-float PCR (solver/pcr_tf.py) is numerically right
 but launch-bound on this runtime (~hundreds of fused-kernel dispatches
-per band solve at ~0.5 ms each); these kernels run one entire
-factorization (resp. one entire solve) as ONE kernel launch with all
-levels unrolled in VMEM.
+per band solve at ~0.5 ms each); these kernels run a factorization in
+~log2(T) launches (one per PCR level + init/inverse) and a band solve in
+ONE launch per chain-chunk, everything VMEM-resident.
 
 Algorithm: all-positions block parallel cyclic reduction (PCR proper,
 not the compacting CR of solver/pcr.py — compaction needs stride-2 lane
