@@ -1,0 +1,53 @@
+"""SCORE + refine: the full pipeline on the GOATS-14 AUV dataset.
+
+The reference uses SCORE as an *initializer* for a local solver (its
+README points at GTSAM, /root/reference/README.md:57-63). This example
+runs the TPU-native equivalent end-to-end: convex relaxation -> rounded
+initialization -> matrix-free Levenberg-Marquardt refinement of the true
+nonlinear MLE objective (score_tpu.refine), reporting the ATE against
+the TUM ground truth before and after refinement.
+
+Usage:  python examples/refine_goats_example.py [SOCP|QCQP]
+"""
+
+import dataclasses
+import sys
+
+from score_tpu.api import ScoreSolverParams, solve_score
+from score_tpu.fg import parse_pickle_file
+from score_tpu.refine import RefineParams, refine_solution
+from score_tpu.utils.metrics import ate_against_ground_truth
+
+GOATS = "/root/reference/examples/goats_14_data/goats_14_6_2002_15_20.pkl"
+
+
+def _print_ate(tag, results, fg):
+    for chain, metrics in ate_against_ground_truth(results, fg).items():
+        print(
+            f"ATE ({tag}) chain {chain}: rmse={metrics['rmse']:.3f} "
+            f"mean={metrics['mean']:.3f} max={metrics['max']:.3f} (m)"
+        )
+
+
+def main() -> None:
+    relaxation = sys.argv[1] if len(sys.argv) > 1 else "SOCP"
+    fg = parse_pickle_file(GOATS)
+
+    res = solve_score(fg, relaxation, ScoreSolverParams(max_iter=60))
+    print(
+        f"relaxation solved={res.solved} iters={res.iterations} "
+        f"pobj={res.primal_objective:.4f} gap={res.gap:.2e}"
+    )
+    _print_ate("SCORE init", res, fg)
+
+    out = refine_solution(fg, res.variables, RefineParams(max_iter=60))
+    print(
+        f"refined: iters={out.iterations} "
+        f"cost {out.initial_cost:.4e} -> {out.cost:.4e}"
+    )
+    refined = dataclasses.replace(res, variables=out.values)
+    _print_ate("refined MLE", refined, fg)
+
+
+if __name__ == "__main__":
+    main()

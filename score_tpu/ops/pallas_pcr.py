@@ -427,8 +427,9 @@ def ppcr_solve_pallas(factors: PPCRFactors, rhs: TF, interpret=None) -> TF:
     # rhs-chunk budget: two-float _mm internals keep ~15 live temporaries
     # of the (Db, Kc, CTc) operand size, so the operand itself must stay
     # ~0.4 MB to hold the kernel stack under the 16 MB VMEM limit
-    # (measured: Kc=85 at CTc=1024 needs 36.8 MB)
-    Kc = max(1, min(K, (400 << 10) // (Db * CTc * 4)))
+    # (measured: Kc=85 at CTc=1024 needs 36.8 MB; Kc=16 with L=7
+    # factors resident still peaked 16.57 MB)
+    Kc = max(1, min(K, (256 << 10) // (Db * CTc * 4)))
 
     bhi = jnp.transpose(rhs.hi, (2, 3, 0, 1)).reshape(Db, K, CT)
     blo = jnp.transpose(rhs.lo, (2, 3, 0, 1)).reshape(Db, K, CT)

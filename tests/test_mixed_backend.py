@@ -111,6 +111,29 @@ def test_mixed_full_solve_goats(goats_problem):
     )
 
 
+def test_mixed_full_solve_goats_qcqp():
+    # QCQP relaxation: exercises the d-by-d pivot-inverse range
+    # elimination (inv_small_spd) under the two-float band
+    from score_tpu.fg import parse_pickle_file
+
+    fg = _truncate(parse_pickle_file(GOATS_PICKLE), 120)
+    fg, _ = normalize_factor_graph(fg)
+    problem, idx = build_conic_problem(fg, "QCQP")
+    st = build_chain_arrow(problem, idx)
+    res = solve_conic(
+        problem, IPMParams(max_iter=40),
+        backend=MixedChainArrowBackend, backend_aux=st,
+    )
+    assert int(res.status) in SOLVED_STATUSES, int(res.status)
+    res64 = solve_conic(
+        problem, IPMParams(max_iter=40),
+        backend=ChainArrowBackend, backend_aux=st,
+    )
+    assert abs(float(res.pobj) - float(res64.pobj)) < 1e-4 * max(
+        1.0, abs(float(res64.pobj))
+    )
+
+
 def test_mixed_pallas_band_matches_jnp_band(goats_problem, monkeypatch):
     """The fused Pallas kernels (interpret mode here) and the jnp two-float
     PCR must produce the same factor-solve answer on the real band."""
