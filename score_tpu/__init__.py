@@ -96,6 +96,10 @@ def __getattr__(name):
         from score_tpu.utils import plot
 
         return getattr(plot, name)
+    if name in ("refine_solution", "RefineParams", "RefineResult"):
+        from score_tpu import refine
+
+        return getattr(refine, name)
     raise AttributeError(f"module 'score_tpu' has no attribute {name!r}")
 
 
