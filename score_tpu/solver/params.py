@@ -40,6 +40,14 @@ class ScoreSolverParams:
     tol_feas: float = 1e-8
     tol_gap_abs: float = 1e-8
     tol_gap_rel: float = 1e-6  # BASELINE.md north-star relative gap
+    # Reduced ("solved to lower accuracy") acceptance used when the
+    # iteration stops on stall/max_iter. None keeps the IPMParams
+    # defaults (1e-6 feas / 1e-5 gap); the largest multi-robot problems
+    # floor near 1e-4 relative gap on TPU — explicitly opt into
+    # initializer-grade acceptance there (still 1000x tighter than the
+    # reference's 1e-1 tolerance, and the true gap is always reported).
+    tol_feas_reduced: Optional[float] = None
+    tol_gap_reduced: Optional[float] = None
     step_fraction: float = 0.99
 
     # precision policy:
@@ -92,6 +100,11 @@ class ScoreSolverParams:
                 tol_gap_reduced=1e-2,
                 static_reg=1e-7,
             )
+        extra = {}
+        if self.tol_feas_reduced is not None:
+            extra["tol_feas_reduced"] = self.tol_feas_reduced
+        if self.tol_gap_reduced is not None:
+            extra["tol_gap_reduced"] = self.tol_gap_reduced
         return IPMParams(
             max_iter=self.max_iter,
             tol_feas=self.tol_feas,
@@ -100,4 +113,5 @@ class ScoreSolverParams:
             step_fraction=self.step_fraction,
             kkt_refine_steps=self.kkt_refine_steps,
             dir_refine_steps=self.dir_refine_steps,
+            **extra,
         )
