@@ -24,7 +24,6 @@ import sys
 import time
 
 CPU_DENSE_BASELINE_SECONDS = 55.2  # dense-KKT IPM via solve_score, JAX_PLATFORMS=cpu, f64
-GOATS = "/root/reference/examples/goats_14_data/goats_14_6_2002_15_20.pkl"
 
 
 def main() -> None:
@@ -41,9 +40,10 @@ def main() -> None:
         )
 
     from score_tpu.api import ScoreSolverParams, solve_score
+    from score_tpu.datasets import goats_pickle_path
     from score_tpu.fg import parse_pickle_file
 
-    fg = parse_pickle_file(GOATS)
+    fg = parse_pickle_file(goats_pickle_path())
     params = ScoreSolverParams(max_iter=60)
 
     # Warmup (compile; first-ever run on a cold cache takes minutes).

@@ -18,7 +18,9 @@ from score_tpu.fg import parse_pickle_file
 from score_tpu.refine import RefineParams, refine_solution
 from score_tpu.utils.metrics import ate_against_ground_truth
 
-GOATS = "/root/reference/examples/goats_14_data/goats_14_6_2002_15_20.pkl"
+from score_tpu.datasets import goats_pickle_path
+
+GOATS = goats_pickle_path()
 
 
 def _print_ate(tag, results, fg):

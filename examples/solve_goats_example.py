@@ -22,8 +22,9 @@ from score_tpu.fg import save_to_tum
 from score_tpu.utils.metrics import ate_against_ground_truth
 from score_tpu.utils.plot import plot_trajectories, visualize_solution
 
-GOATS_DIR = "/root/reference/examples/goats_14_data"
-DATA_PATH = os.path.join(GOATS_DIR, "goats_14_6_2002_15_20.pkl")
+from score_tpu.datasets import goats_pickle_path
+
+DATA_PATH = goats_pickle_path()
 OUT_DIR = os.path.join(os.path.dirname(__file__), "out")
 
 

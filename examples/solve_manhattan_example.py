@@ -15,7 +15,9 @@ from score_tpu.api import ScoreSolverParams, solve_score
 from score_tpu.utils.metrics import ate_against_ground_truth
 from score_tpu.utils.plot import plot_trajectories
 
-DATA_PATH = "/root/reference/examples/manhattan/factor_graph.pickle"
+from score_tpu.datasets import manhattan_pickle_path
+
+DATA_PATH = manhattan_pickle_path()
 OUT_DIR = os.path.join(os.path.dirname(__file__), "out")
 
 

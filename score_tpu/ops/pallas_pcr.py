@@ -84,8 +84,13 @@ _LANE_ELEMS_MAX = 36 * 1024
 
 
 def ppcr_supported(T: int, Db: int) -> bool:
-    """Can the fused kernels serve chains of length T with Db-wide blocks?"""
-    return Db * Db * T <= _LANE_ELEMS_MAX
+    """Can the fused kernels serve chains of length T with Db-wide blocks?
+
+    Accounts for the 128-lane alignment floor in `_chunk_group`: short
+    chains are grouped up to >= 128 lanes per call, so the post-alignment
+    lane count must also fit the budget (relevant only for Db >= 17)."""
+    lanes = T if T >= 128 else (128 // T) * T
+    return Db * Db * lanes <= _LANE_ELEMS_MAX
 
 
 class PPCRFactors(NamedTuple):
@@ -433,8 +438,6 @@ def ppcr_solve_pallas(factors: PPCRFactors, rhs: TF, interpret=None) -> TF:
 
     bhi = jnp.transpose(rhs.hi, (2, 3, 0, 1)).reshape(Db, K, CT)
     blo = jnp.transpose(rhs.lo, (2, 3, 0, 1)).reshape(Db, K, CT)
-    L = _num_levels(T)
-    LDb = max(L, 1) * Db
 
     def launch(efslices, bh, bl):
         kk = bh.shape[1]

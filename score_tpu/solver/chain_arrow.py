@@ -353,6 +353,15 @@ def build_chain_arrow(
             # pose-first dispatch, consistent with
             # VariableIndex.translation_cols (gurobi_utils.py:103-109)
             is_pose = np.array([nm in name_to_pose for nm in names])
+            unknown = [
+                nm for nm in names
+                if nm not in name_to_pose and nm not in name_to_lm
+            ]
+            if unknown:
+                raise KeyError(
+                    f"range endpoint(s) {sorted(set(unknown))} are neither "
+                    "pose nor landmark names"
+                )
             pidx_v = np.array(
                 [name_to_pose.get(nm, 0) for nm in names], dtype=np.int64
             )

@@ -161,6 +161,10 @@ class _State(NamedTuple):
     best_z: jnp.ndarray
     best_metric: jnp.ndarray
     stall: jnp.ndarray
+    # step diagnostics of the LAST step taken, for solve_conic_traced:
+    # [alpha_final, nbhd_frac, sigma, gap_affine/gap, min_detprod/mu^2,
+    #  centering(0/1), alpha_pre_nbhd, newton_resid]
+    diag: jnp.ndarray
 
 
 def _residuals(backend, problem, state, x, s, z):
@@ -478,9 +482,25 @@ def _step(backend, problem: ConicProblem, state_ops, params: IPMParams,
     def mehrotra_step(_):
         return dx, ds, dz, alpha * frac
 
+    alpha_pre = alpha
     dx, ds, dz, alpha = jax.lax.cond(
         frac == 0.0, centering_step, mehrotra_step, None
     )
+
+    detprod = cones.soc_residual(s) * cones.soc_residual(z)
+    f1d, f2d, f3d = _newton_resid(rx, rz, d_comb, dx, ds, dz)
+    diag = jnp.stack(
+        [
+            alpha,
+            frac,
+            sigma,
+            jnp.maximum(gap_a, 0.0) / gap,
+            jnp.min(detprod) / jnp.maximum(mu**2, jnp.finfo(dtype).tiny),
+            jnp.where(frac == 0.0, 1.0, 0.0).astype(dtype),
+            alpha_pre,
+            jnp.linalg.norm(f1d) + jnp.linalg.norm(f2d) + jnp.linalg.norm(f3d),
+        ]
+    ).astype(dtype)
 
     x_new = x + alpha * dx
     s_new = s + alpha * ds
@@ -496,7 +516,9 @@ def _step(backend, problem: ConicProblem, state_ops, params: IPMParams,
     z_new = jnp.where(finite, z_new, z)
     status = jnp.where(finite, st.status, NUMERICAL_ERROR)
 
-    return st._replace(x=x_new, s=s_new, z=z_new, it=st.it + 1, status=status)
+    return st._replace(
+        x=x_new, s=s_new, z=z_new, it=st.it + 1, status=status, diag=diag
+    )
 
 
 def _initial_point(backend, problem: ConicProblem, state_ops,
@@ -638,7 +660,7 @@ def _make_initial_state(backend, problem, state_ops, params,
     return _State(
         x=x0, s=s0, z=z0, it=jnp.asarray(0), status=jnp.asarray(RUNNING),
         best_x=x0, best_s=s0, best_z=z0, best_metric=inf,
-        stall=jnp.asarray(0),
+        stall=jnp.asarray(0), diag=jnp.zeros((8,), dtype=x0.dtype),
     )
 
 
@@ -662,9 +684,14 @@ def _scan_solve(backend, problem, params, num_iters, record_iterates,
                 backend, problem, state_ops, params,
                 new_st.x, new_st.s, new_st.z,
             )
-            out = jnp.stack(
-                [pres, dres, gap, pq + state_ops.const,
-                 new_st.status.astype(pres.dtype)]
+            out = jnp.concatenate(
+                [
+                    jnp.stack(
+                        [pres, dres, gap, pq + state_ops.const,
+                         new_st.status.astype(pres.dtype)]
+                    ),
+                    new_st.diag,
+                ]
             )
         return new_st, out
 
@@ -703,9 +730,11 @@ def solve_conic_traced(
     backend_aux=None,
 ) -> Tuple[IPMResult, jnp.ndarray]:
     """Solve while recording per-iteration telemetry. Returns
-    (result, metrics) with metrics of shape (num_iters, 5):
-    [pres, dres, gap, pobj, status] after each iteration — the
-    observability hook for convergence monitoring (SURVEY.md §5)."""
+    (result, metrics) with metrics of shape (num_iters, 13):
+    [pres, dres, gap, pobj, status] after each iteration, followed by the
+    step diagnostics [alpha, nbhd_frac, sigma, gap_affine/gap,
+    min_detprod/mu^2, centering_flag, alpha_pre_nbhd, newton_resid] —
+    the observability hook for convergence monitoring (SURVEY.md §5)."""
     return _scan_solve(
         backend, problem, params, num_iters, False, backend_aux,
         record_metrics=True,

@@ -79,8 +79,9 @@ class ScoreSolverParams:
     refine: bool = False
 
     # KKT backend: "auto" picks the structure-exploiting chain+arrow
-    # factorization when the problem supports it (2D, no loop closures)
-    # and falls back to dense Cholesky otherwise.
+    # factorization (2D and 3D, loop closures and inter-robot ranges
+    # handled as arrow blocks) whenever the graph has a pose chain, and
+    # falls back to dense Cholesky only for pose-free problems.
     backend: str = "auto"  # auto | chain_arrow | dense
 
     def ipm_params(self) -> IPMParams:
@@ -96,8 +97,14 @@ class ScoreSolverParams:
                 step_fraction=self.step_fraction,
                 kkt_refine_steps=max(self.kkt_refine_steps, 1),
                 dir_refine_steps=self.dir_refine_steps,
-                tol_feas_reduced=1e-2,
-                tol_gap_reduced=1e-2,
+                tol_feas_reduced=(
+                    1e-2 if self.tol_feas_reduced is None
+                    else self.tol_feas_reduced
+                ),
+                tol_gap_reduced=(
+                    1e-2 if self.tol_gap_reduced is None
+                    else self.tol_gap_reduced
+                ),
                 static_reg=1e-7,
             )
         extra = {}

@@ -120,6 +120,7 @@ def plot_error(
     color_dist_circles: bool = False,
     show: bool = True,
     save_path: Optional[str] = None,
+    save_animation_path: Optional[str] = None,
     num_frames_skip: int = 2,
     pause: float = 0.001,
 ) -> None:
@@ -130,12 +131,25 @@ def plot_error(
 
     With ``show=False`` the animation is skipped and only the final frame is
     drawn (and saved to ``save_path`` when given) — the headless mode.
+
+    ``save_animation_path`` (a ``.gif`` path) renders every frame headlessly
+    and writes the animation via Pillow — the export that regenerates the
+    reference's headline media (/root/reference/media/4robot_animation.gif,
+    20robot_animation.gif, produced by the plot_utils.py:83-187 frame loop
+    which could only display live).
     """
     import matplotlib
 
     if not show:
         matplotlib.use("Agg", force=False)
     import matplotlib.pyplot as plt
+
+    if save_animation_path and not save_animation_path.endswith(".gif"):
+        raise ValueError(
+            "save_animation_path must end in .gif (Pillow writer); got "
+            f"{save_animation_path!r}"
+        )
+    capturing = save_animation_path is not None
 
     fig, ax = plt.subplots(figsize=(10, 10))
     x0, x1, y0, y1 = _axes_bounds(data)
@@ -160,8 +174,11 @@ def plot_error(
         draw_landmark_solution(ax, landmarks_sol[lm.name])
 
     frame_indices = (
-        range(0, max_len, num_frames_skip) if show else [max_len - 1]
+        range(0, max_len, num_frames_skip)
+        if (show or capturing)
+        else [max_len - 1]
     )
+    frames: List[np.ndarray] = []
     for pose_idx in frame_indices:
         frame_lines = []
         for chain in chains:
@@ -199,11 +216,29 @@ def plot_error(
                 )
         if show:
             plt.pause(pause)
+        if capturing:
+            fig.canvas.draw()
+            frames.append(np.asarray(fig.canvas.buffer_rgba()).copy())
+        if (show or capturing) and pose_idx != frame_indices[-1]:
             for patch in list(ax.patches):
                 patch.remove()
             for line in frame_lines:
                 line.remove()
 
+    if capturing and frames:
+        from PIL import Image
+
+        imgs = [Image.fromarray(f[..., :3]) for f in frames]
+        imgs[0].save(
+            save_animation_path,
+            save_all=True,
+            append_images=imgs[1:],
+            duration=max(int(pause * 1000), 50),
+            loop=0,
+        )
+        logger.info(
+            "saved %d-frame animation to %s", len(frames), save_animation_path
+        )
     if save_path:
         fig.savefig(save_path, dpi=120, bbox_inches="tight")
         logger.info("saved plot to %s", save_path)

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import contextlib
 import logging
+import sys
 import time
 from dataclasses import dataclass, field
 from typing import Dict, List, Optional
@@ -26,15 +27,42 @@ import numpy as np
 __all__ = ["setup_logging", "PhaseTimer", "SolveTrace", "trace_solve",
            "profiler_trace"]
 
+_FORMAT = "[%(filename)s:%(lineno)d] %(name)s %(levelname)s - %(message)s"
 
-def setup_logging(level: int = logging.INFO) -> None:
-    """Configure the reference-style log format
-    (parity: solve_score.py:11-15 coloredlogs install)."""
-    logging.basicConfig(
-        level=level,
-        format="[%(filename)s:%(lineno)d] %(name)s %(levelname)s - %(message)s",
-        force=True,
+# coloredlogs-style per-level ANSI colors (the reference installs
+# coloredlogs at import time, solve_score.py:11-15).
+_LEVEL_COLORS = {
+    logging.DEBUG: "\x1b[32m",  # green
+    logging.INFO: "\x1b[0m",  # default
+    logging.WARNING: "\x1b[33m",  # yellow
+    logging.ERROR: "\x1b[31m",  # red
+    logging.CRITICAL: "\x1b[1;31m",  # bold red
+}
+_RESET = "\x1b[0m"
+
+
+class _ColorFormatter(logging.Formatter):
+    def format(self, record: logging.LogRecord) -> str:
+        msg = super().format(record)
+        color = _LEVEL_COLORS.get(record.levelno, "")
+        return f"{color}{msg}{_RESET}" if color else msg
+
+
+def setup_logging(level: int = logging.INFO, color: Optional[bool] = None) -> None:
+    """Configure the reference-style log format with per-level ANSI
+    coloring (parity: solve_score.py:11-15 coloredlogs install, without
+    the external dependency). ``color=None`` auto-detects a TTY."""
+    if color is None:
+        color = sys.stderr.isatty()
+    handler = logging.StreamHandler()
+    handler.setFormatter(
+        _ColorFormatter(_FORMAT) if color else logging.Formatter(_FORMAT)
     )
+    root = logging.getLogger()
+    for h in list(root.handlers):
+        root.removeHandler(h)
+    root.addHandler(handler)
+    root.setLevel(level)
 
 
 @dataclass

@@ -53,9 +53,15 @@ def _release_compiled_executables():
     jax.clear_caches()
 
 
-GOATS_PICKLE = "/root/reference/examples/goats_14_data/goats_14_6_2002_15_20.pkl"
-MANHATTAN_PICKLE = "/root/reference/examples/manhattan/factor_graph.pickle"
-GOATS_GT_TUM = "/root/reference/examples/goats_14_data/gt_traj_A.tum"
+from score_tpu.datasets import (  # noqa: E402
+    goats_gt_tum_path,
+    goats_pickle_path,
+    manhattan_pickle_path,
+)
+
+GOATS_PICKLE = goats_pickle_path()
+MANHATTAN_PICKLE = manhattan_pickle_path()
+GOATS_GT_TUM = goats_gt_tum_path()
 
 
 @pytest.fixture(scope="session")
