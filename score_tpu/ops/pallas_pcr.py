@@ -321,7 +321,7 @@ def _chunk_group(C: int, T: int, Db: int) -> int:
     return group
 
 
-def ppcr_factor_pallas(D: TF, U: TF, interpret=None) -> PPCRFactors:
+def _ppcr_factor_impl(D: TF, U: TF, interpret=None, group=None) -> PPCRFactors:
     """Factor C independent block-tridiagonal systems.
 
     D, U: TF of shape (C, T, Db, Db) (same convention as solver/pcr.py:
@@ -329,11 +329,14 @@ def ppcr_factor_pallas(D: TF, U: TF, interpret=None) -> PPCRFactors:
     processed in lane-budgeted chunks of `_chunk_group(C, T, Db)` chains per
     kernel call (C padded up with decoupled identity chains); factors
     keep the padded lane count — the solve pads its rhs to match.
+    ``group`` overrides the chunk size (the vmap rules pick one that
+    divides the folded chain count).
     """
     C, T, Db, _ = D.hi.shape
     if interpret is None:
         interpret = _interpret_default()
-    group = _chunk_group(C, T, Db)
+    if group is None:
+        group = _chunk_group(C, T, Db)
     extra = (-C) % group
     if extra:
         eye = jnp.broadcast_to(
@@ -410,7 +413,8 @@ def ppcr_factor_pallas(D: TF, U: TF, interpret=None) -> PPCRFactors:
     )
 
 
-def ppcr_solve_pallas(factors: PPCRFactors, rhs: TF, interpret=None) -> TF:
+def _ppcr_solve_impl(factors: PPCRFactors, rhs: TF, interpret=None,
+                     group=None) -> TF:
     """Solve for rhs TF of shape (C, T, Db, K); returns the same shape.
 
     Chains are chunked exactly like the factorization (reading each
@@ -427,7 +431,8 @@ def ppcr_solve_pallas(factors: PPCRFactors, rhs: TF, interpret=None) -> TF:
         rhs = TF(jnp.concatenate([rhs.hi, z]), jnp.concatenate([rhs.lo, z]))
     Corig, C = C, CTf // T
     CT = C * T
-    group = _chunk_group(C, T, Db)
+    if group is None:
+        group = _chunk_group(C, T, Db)
     CTc = group * T
     # rhs-chunk budget: two-float _mm internals keep ~15 live temporaries
     # of the (Db, Kc, CTc) operand size, so the operand itself must stay
@@ -476,3 +481,156 @@ def ppcr_solve_pallas(factors: PPCRFactors, rhs: TF, interpret=None) -> TF:
     xhi = jnp.transpose(xhi.reshape(Db, K, C, T), (2, 3, 0, 1))[:Corig]
     xlo = jnp.transpose(xlo.reshape(Db, K, C, T), (2, 3, 0, 1))[:Corig]
     return TF(xhi, xlo)
+
+
+# ------------------------------------------------------------------ #
+# Batch (vmap) support: fold the batch axis into the chain-lane axis
+# ------------------------------------------------------------------ #
+#
+# This toolchain rejects gridded pallas_call, so jax's default vmap rule
+# for pallas_call (which adds a grid axis) cannot work here. But the
+# kernels already treat chains as fully independent lanes, so a batch of
+# B same-structure problems x C chains IS just B*C chains: the
+# custom_vmap rules below reshape the batch into the chain axis
+# (trial-major lane order), call the same gridless kernels once, and
+# unfold. Each trial's chain count is first padded to the asymptotic
+# chunk group so the folded chain count is chunk-aligned and lanes stay
+# per-trial contiguous. This is what makes the mixed-precision band
+# vmappable for Monte-Carlo batches (parallel/batch.py) on TPU.
+
+
+def _budget_group(T: int, Db: int) -> int:
+    """Largest power-of-two chain group within the per-call VMEM budget.
+    Under ``ppcr_supported`` this is always >= the 128-lane alignment
+    floor 128 // T (itself a power of two for the power-of-two T the
+    callers use)."""
+    budget = max(1, _LANE_ELEMS_MAX // (Db * Db * T))
+    g2 = 1
+    while g2 * 2 <= budget:
+        g2 *= 2
+    return g2
+
+
+def _batch_group(C: int, T: int, Db: int) -> int:
+    """Chunk group for a batched (folded) call: within the VMEM budget,
+    at least the 128-lane alignment floor, and no larger than the
+    per-trial chain count needs — each trial pads its chains to a
+    multiple of this, so the folded batch is chunk-aligned for ANY trial
+    count while the padding stays <= 2x per trial."""
+    c2 = 1
+    while c2 < C:
+        c2 *= 2
+    g = min(_budget_group(T, Db), c2)
+    if T < 128:
+        g = max(g, 128 // T)
+    return g
+
+
+def _divisor_group(Cp: int, T: int, Db: int) -> int:
+    """Chunk group for a folded batch whose per-trial chain count Cp is
+    already padded: the largest power of two dividing Cp, budget-capped.
+    Dividing Cp guarantees it divides B * Cp for any trial count, and it
+    is >= the alignment floor because the factor-time group (which
+    divides Cp) was."""
+    p = Cp & (-Cp)  # largest power of two dividing Cp
+    return min(_budget_group(T, Db), p)
+
+
+def _bcast_leaves(tree, flags, B):
+    """Broadcast any unbatched leaves of `tree` to a leading B axis."""
+    leaves, treedef = jax.tree_util.tree_flatten(tree)
+    flag_leaves = jax.tree_util.tree_leaves(flags)
+    out = [
+        leaf if batched else jnp.broadcast_to(leaf[None], (B,) + leaf.shape)
+        for leaf, batched in zip(leaves, flag_leaves)
+    ]
+    return jax.tree_util.tree_unflatten(treedef, out)
+
+
+@jax.custom_batching.custom_vmap
+def _ppcr_factor_vmappable(D: TF, U: TF) -> PPCRFactors:
+    return _ppcr_factor_impl(D, U, None)
+
+
+@_ppcr_factor_vmappable.def_vmap
+def _ppcr_factor_vmap_rule(axis_size, in_batched, D, U):
+    B = axis_size
+    D = _bcast_leaves(D, in_batched[0], B)
+    U = _bcast_leaves(U, in_batched[1], B)
+    _, C, T, Db, _ = D.hi.shape
+    g = _batch_group(C, T, Db)
+    Cp = -(-C // g) * g
+    if Cp != C:
+        extra = Cp - C
+        eye = jnp.broadcast_to(
+            jnp.eye(Db, dtype=jnp.float32), (B, extra, T, Db, Db)
+        )
+        zb = jnp.zeros((B, extra, T, Db, Db), jnp.float32)
+        D = TF(
+            jnp.concatenate([D.hi, eye], 1), jnp.concatenate([D.lo, zb], 1)
+        )
+        U = TF(
+            jnp.concatenate([U.hi, zb], 1), jnp.concatenate([U.lo, zb], 1)
+        )
+    fold = lambda a: a.reshape((B * Cp,) + a.shape[2:])
+    f = _ppcr_factor_impl(
+        TF(fold(D.hi), fold(D.lo)), TF(fold(U.hi), fold(U.lo)), None,
+        group=g,
+    )
+    # lane axis is (B*Cp*T,), trial-major (chain = b*Cp + c), and the
+    # internal chunk padding is vacuous because g divides B*Cp — so the
+    # per-trial unfold is a pure reshape.
+    unfold = lambda a: jnp.moveaxis(
+        a.reshape(a.shape[0], a.shape[1], B, Cp * T), 2, 0
+    )
+    out = jax.tree_util.tree_map(unfold, f)
+    return out, jax.tree_util.tree_map(lambda _: True, out)
+
+
+@jax.custom_batching.custom_vmap
+def _ppcr_solve_vmappable(factors: PPCRFactors, rhs: TF) -> TF:
+    return _ppcr_solve_impl(factors, rhs, None)
+
+
+@_ppcr_solve_vmappable.def_vmap
+def _ppcr_solve_vmap_rule(axis_size, in_batched, factors, rhs):
+    B = axis_size
+    factors = _bcast_leaves(factors, in_batched[0], B)
+    rhs = _bcast_leaves(rhs, in_batched[1], B)
+    _, C, T, Db, K = rhs.hi.shape
+    CpT = factors.invD.hi.shape[-1]
+    Cp = CpT // T
+    if Cp != C:
+        z = jnp.zeros((B, Cp - C, T, Db, K), jnp.float32)
+        rhs = TF(
+            jnp.concatenate([rhs.hi, z], 1), jnp.concatenate([rhs.lo, z], 1)
+        )
+    fold_f = lambda a: jnp.moveaxis(a, 0, 2).reshape(
+        a.shape[1], a.shape[2], B * CpT
+    )
+    fold_r = lambda a: a.reshape((B * Cp,) + a.shape[2:])
+    x = _ppcr_solve_impl(
+        jax.tree_util.tree_map(fold_f, factors),
+        TF(fold_r(rhs.hi), fold_r(rhs.lo)),
+        None,
+        group=_divisor_group(Cp, T, Db),
+    )
+    unfold = lambda a: a.reshape((B, Cp) + a.shape[1:])[:, :C]
+    out = jax.tree_util.tree_map(unfold, x)
+    return out, jax.tree_util.tree_map(lambda _: True, out)
+
+
+def ppcr_factor_pallas(D: TF, U: TF, interpret=None) -> PPCRFactors:
+    """Public factor entry: vmappable (batch folds into the chain axis).
+    An explicit ``interpret`` bypasses the custom_vmap wrapper (tests)."""
+    if interpret is None:
+        return _ppcr_factor_vmappable(D, U)
+    return _ppcr_factor_impl(D, U, interpret)
+
+
+def ppcr_solve_pallas(factors: PPCRFactors, rhs: TF, interpret=None) -> TF:
+    """Public solve entry: vmappable (batch folds into the chain axis).
+    An explicit ``interpret`` bypasses the custom_vmap wrapper (tests)."""
+    if interpret is None:
+        return _ppcr_solve_vmappable(factors, rhs)
+    return _ppcr_solve_impl(factors, rhs, interpret)

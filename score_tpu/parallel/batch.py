@@ -87,6 +87,9 @@ def solve_conic_batch(
     from score_tpu.solver.backend import DenseBackend
 
     backend = backend or DenseBackend
+    # branchless: required for backends with custom_vmap'd Pallas calls
+    # (MixedChainArrowBackend) and free under vmap for the rest
+    params = dataclasses.replace(params, branchless=True)
     fn = jax.jit(
         jax.vmap(
             lambda pb: solve_conic_fixed(
@@ -140,6 +143,7 @@ def solve_conic_sharded(
     from score_tpu.solver.backend import DenseBackend
 
     backend = backend or DenseBackend
+    params = dataclasses.replace(params, branchless=True)
 
     @jax.jit
     def run(pb):

@@ -94,11 +94,19 @@ def jordan_solve(lmbda: jnp.ndarray, d: jnp.ndarray) -> jnp.ndarray:
 
     With a = lambda0, b = lambda1, sigma = a^2 - ||b||^2:
       u0 = (a d0 - b.d1) / sigma,  u1 = (d1 - u0 b) / a.
-    """
+
+    Both sigma (the Jordan determinant) and the u0 numerator are
+    cancellation-prone for near-boundary lambda: at a degenerate cone
+    det(lambda) = rho_s rho_z can sit many orders below lambda0^2 ~ mu,
+    and the naive forms lose ALL their digits (relative error
+    eps lambda0^2 / det > 1) — which poisons the Newton rhs
+    v = W(lambda \\ d) and freezes the IPM endgame. Both are evaluated
+    compensated (solver/dd.py); this is what lets large multi-robot
+    problems keep cutting the gap once a cone goes degenerate."""
     a = lmbda[:, :1]
     b = lmbda[:, 1:]
-    sigma = a**2 - jnp.sum(b**2, axis=1, keepdims=True)
-    u0 = (a * d[:, :1] - jnp.sum(b * d[:, 1:], axis=1, keepdims=True)) / sigma
+    sigma = dd.signed_sumsq(lmbda)[:, None]
+    u0 = dd.jdot(lmbda, d)[:, None] / sigma
     u1 = (d[:, 1:] - u0 * b) / a
     return jnp.concatenate([u0, u1], axis=1)
 
@@ -149,6 +157,21 @@ def apply_Winv(nt: NTScaling, u: jnp.ndarray) -> jnp.ndarray:
     """W^{-1} u = (1/eta) H(J wbar) u."""
     Jwbar = nt.wbar.at[:, 1:].multiply(-1.0)
     return _apply_H(Jwbar, u) / nt.eta[:, None]
+
+
+def apply_Winv2(nt: NTScaling, u: jnp.ndarray) -> jnp.ndarray:
+    """W^{-2} u via two structured H applications, never forming the dense
+    matrix. For a near-degenerate cone ||W||^2 reaches ~1/mu^2-grade while
+    W^{-2}'s small eigenvalue is ~mu^2-grade; the explicit (N, k, k)
+    matrix stores entries of scale ||W||^2, so its small eigenvalue
+    drowns in eps * ||W||^2 roundoff (observed at the 20-robot endgame:
+    *negative* computed eigenvalues at -8e-6). The two-step operator form
+    keeps the error at eps * kappa(W) instead of eps * kappa(W)^2 —
+    load-bearing for the Newton back-substitution dz = W^{-2}(G dx + ...)
+    once any cone goes degenerate. The dense matrices remain in use for
+    KKT *assembly* (the factorization is a preconditioner there; the
+    solver's residual-guarded refinement corrects its entry error)."""
+    return apply_Winv(nt, apply_Winv(nt, u))
 
 
 def winv2_matrices(nt: NTScaling) -> jnp.ndarray:

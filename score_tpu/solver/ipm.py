@@ -133,6 +133,15 @@ class IPMParams:
     # scaling (relative error eps/rho^2 > 1) and makes the endgame thrash;
     # the neighborhood keeps W computable all the way down.
     nbhd_gamma: float = 0.1
+    # Replace the solver's internal `lax.cond`s (skip-when-terminal,
+    # centering recovery) with compute-both + select. Required when the
+    # KKT backend contains custom_vmap'd Pallas calls and the solve is
+    # vmapped (jax cannot batch a custom_vmap inside a cond branch:
+    # cond batching broadcasts the branch's closure constants, which
+    # custom_vmap rejects) — and costs nothing extra under vmap, where
+    # batched cond runs both branches as a select anyway. The batch
+    # drivers (parallel/batch.py) enable this automatically.
+    branchless: bool = False
 
 
 class IPMResult(NamedTuple):
@@ -282,6 +291,12 @@ def _advance(backend, problem, state_ops, params, st: _State) -> _State:
         status=status, best_x=best_x, best_s=best_s, best_z=best_z,
         best_metric=best_metric, stall=stall,
     )
+    if params.branchless:
+        stepped = _step(backend, problem, state_ops, params, st,
+                        residuals=(rx, rz))
+        return jax.tree_util.tree_map(
+            lambda old, new: jnp.where(terminal, old, new), st, stepped
+        )
     return jax.lax.cond(
         terminal,
         lambda s: s,
@@ -312,14 +327,20 @@ def _step(backend, problem: ConicProblem, state_ops, params: IPMParams,
     def _condensed(rx_, rz_, d):
         """One condensed Newton solve: directions satisfying
         P dx + G' dz = -rx_,  G dx + ds = -rz_,
-        lambda o (W^{-1} ds + W dz) = d."""
+        lambda o (W^{-1} ds + W dz) = d.
+
+        W^{-2} is applied in operator form (two H applications, see
+        :func:`cones.apply_Winv2`) — the dense per-cone matrices fed to
+        the factorization lose the small eigenvalue of degenerate cones
+        to roundoff, and using them here would poison the rhs and the dz
+        back-substitution beyond what refinement can recover."""
         v = cones.apply_W(nt, cones.jordan_solve(lam, d))  # W (lambda \ d)
         rzv = rz_ + v
-        wrz = jnp.einsum("mij,mj->mi", Winv2, rzv)
+        wrz = cones.apply_Winv2(nt, rzv)
         rhs = state_ops.mask * (-(rx_) - backend.GT(problem, state_ops, wrz))
         dx = backend.solve(problem, state_ops, factors, rhs, params)
         Gdx = backend.G(problem, state_ops, dx)
-        dz = jnp.einsum("mij,mj->mi", Winv2, Gdx + rzv)
+        dz = cones.apply_Winv2(nt, Gdx + rzv)
         ds = -rz_ - Gdx
         return dx, ds, dz
 
@@ -483,9 +504,17 @@ def _step(backend, problem: ConicProblem, state_ops, params: IPMParams,
         return dx, ds, dz, alpha * frac
 
     alpha_pre = alpha
-    dx, ds, dz, alpha = jax.lax.cond(
-        frac == 0.0, centering_step, mehrotra_step, None
-    )
+    if params.branchless:
+        cdx, cds, cdz, calpha = centering_step(None)
+        use_c = frac == 0.0
+        dx = jnp.where(use_c, cdx, dx)
+        ds = jnp.where(use_c, cds, ds)
+        dz = jnp.where(use_c, cdz, dz)
+        alpha = jnp.where(use_c, calpha, alpha * frac)
+    else:
+        dx, ds, dz, alpha = jax.lax.cond(
+            frac == 0.0, centering_step, mehrotra_step, None
+        )
 
     detprod = cones.soc_residual(s) * cones.soc_residual(z)
     f1d, f2d, f3d = _newton_resid(rx, rz, d_comb, dx, ds, dz)
@@ -670,12 +699,18 @@ def _scan_solve(backend, problem, params, num_iters, record_iterates,
     st0 = _make_initial_state(backend, problem, state_ops, params)
 
     def scan_body(st, _):
-        new_st = jax.lax.cond(
-            (st.status == RUNNING),
-            lambda s: _advance(backend, problem, state_ops, params, s),
-            lambda s: s,
-            st,
-        )
+        if params.branchless:
+            # _advance's internal terminal select already freezes
+            # finished lanes (branchless mode exists so no cond wraps
+            # the backend's custom_vmap'd Pallas calls)
+            new_st = _advance(backend, problem, state_ops, params, st)
+        else:
+            new_st = jax.lax.cond(
+                (st.status == RUNNING),
+                lambda s: _advance(backend, problem, state_ops, params, s),
+                lambda s: s,
+                st,
+            )
         out = None
         if record_iterates:
             out = new_st.x

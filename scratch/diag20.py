@@ -17,7 +17,11 @@ import jax.numpy as jnp
 from score_tpu.assembly.conic import build_conic_problem
 from score_tpu.assembly.normalize import normalize_factor_graph
 from score_tpu.sim.manhattan import ManhattanWorldParams, simulate_manhattan_world
-from score_tpu.solver.chain_arrow import ChainArrowBackend, build_chain_arrow
+from score_tpu.solver.chain_arrow import (
+    ChainArrowBackend,
+    MixedChainArrowBackend,
+    build_chain_arrow,
+)
 from score_tpu.solver.ipm import IPMParams, solve_conic_traced
 
 poses = int(sys.argv[1]) if len(sys.argv) > 1 else 100
@@ -45,11 +49,17 @@ print(
     flush=True,
 )
 
+backend = (
+    MixedChainArrowBackend
+    if os.environ.get("DIAG_MIXED") == "1"
+    else ChainArrowBackend
+)
+print("backend:", backend.__name__, flush=True)
 params = IPMParams(max_iter=60)
 t0 = time.time()
 res, metrics = solve_conic_traced(
     problem, params, num_iters=60,
-    backend=ChainArrowBackend, backend_aux=st,
+    backend=backend, backend_aux=st,
 )
 m = np.asarray(metrics)
 print(f"solve+compile {time.time()-t0:.1f}s", flush=True)

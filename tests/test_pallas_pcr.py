@@ -74,3 +74,33 @@ def test_pallas_pcr_single_block():
     x = _solve_pallas(D[None], U[None], rhs[None])[0]
     xref = np.linalg.solve(D[0], rhs[0])
     assert np.max(np.abs(x[0] - xref)) / np.max(np.abs(xref)) < 1e-6
+
+
+def test_pallas_pcr_vmap_folds_batch_into_lanes():
+    """The custom_vmap rules fold a batch of trials into the chain-lane
+    axis (parallel/batch.py's mixed-band path); results must match
+    per-trial unbatched calls."""
+    import jax
+
+    T, Db, B, C = 8, 3, 3, 2
+    rng = np.random.default_rng(7)
+    Ds, Us, Rs = [], [], []
+    for b in range(B):
+        chains = [_block_tridiag(T, Db, 10 * b + c) for c in range(C)]
+        Ds.append(np.stack([c[0] for c in chains]))
+        Us.append(np.stack([c[1] for c in chains]))
+        Rs.append(rng.standard_normal((C, T, Db, 2)))
+    Db_ = jnp.asarray(np.stack(Ds))
+    Ub_ = jnp.asarray(np.stack(Us))
+    Rb_ = jnp.asarray(np.stack(Rs))
+
+    def solve_one(D, U, R):
+        fac = ppcr_factor_pallas(tfm.from_f64(D), tfm.from_f64(U))
+        return tfm.to_f64(ppcr_solve_pallas(fac, tfm.from_f64(R)))
+
+    # interpret mode is the CPU default (_interpret_default); the public
+    # entries route through the custom_vmap wrappers when vmapped
+    batched = np.asarray(jax.vmap(solve_one)(Db_, Ub_, Rb_))
+    for b in range(B):
+        single = np.asarray(solve_one(Db_[b], Ub_[b], Rb_[b]))
+        assert np.max(np.abs(batched[b] - single)) < 1e-9, b
