@@ -15,9 +15,15 @@ import numpy as np
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
+import jax
+
 from score_tpu.assembly.conic import SOCP_RELAXATION, build_conic_problem
 from score_tpu.parallel.batch import solve_conic_batch, stack_problems
-from score_tpu.solver.chain_arrow import ChainArrowBackend, build_chain_arrow
+from score_tpu.solver.chain_arrow import (
+    ChainArrowBackend,
+    MixedChainArrowBackend,
+    build_chain_arrow,
+)
 from score_tpu.sim.manhattan import (
     ManhattanWorldParams,
     resample_measurements,
@@ -48,15 +54,21 @@ def main() -> None:
 
     _, idx = build_conic_problem(trials[0], SOCP_RELAXATION)
     ca = build_chain_arrow(problems[0], idx)
+    # production TPU path: the mixed two-float band, vmapped via the
+    # batch-folding custom_vmap kernel rules (ops/pallas_pcr.py)
+    backend = (
+        MixedChainArrowBackend
+        if jax.default_backend() == "tpu"
+        else ChainArrowBackend
+    )
+    print("backend:", backend.__name__)
     params = IPMParams(max_iter=30)
     t0 = time.time()
-    res = solve_conic_batch(batch, params, backend=ChainArrowBackend,
-                            backend_aux=ca)
+    res = solve_conic_batch(batch, params, backend=backend, backend_aux=ca)
     np.asarray(res.x)
     t_compile = time.time() - t0
     t0 = time.time()
-    res = solve_conic_batch(batch, params, backend=ChainArrowBackend,
-                            backend_aux=ca)
+    res = solve_conic_batch(batch, params, backend=backend, backend_aux=ca)
     np.asarray(res.x)
     t_warm = time.time() - t0
 

@@ -272,11 +272,20 @@ def solve_problem_with_intermediate_iterates(
     params = params or ScoreSolverParams()
     _check_factor_graph(data)
     t0 = time.perf_counter()
-    problem, idx = build_conic_problem(data, relaxation_type)
+    # identical conditioning/precision/warm-start pipeline to solve_score:
+    # snapshots are solved in normalized units and unscaled on extraction,
+    # so the final snapshot IS the solve_score result
+    scaled_data, scale = (
+        normalize_factor_graph(data) if params.normalize else (data, 1.0)
+    )
+    problem, idx = build_conic_problem(scaled_data, relaxation_type)
+    if params.precision == "f32":
+        problem = _cast_problem(problem, jnp.float32)
     backend, backend_aux = _select_backend(data, problem, idx, params)
+    warm_start = _build_warm_start(scaled_data, problem, idx, params, scale)
     result, xs = solve_conic_with_iterates(
         problem, params.ipm_params(), num_iters=params.max_iter,
-        backend=backend, backend_aux=backend_aux,
+        backend=backend, backend_aux=backend_aux, warm_start=warm_start,
     )
     xs.block_until_ready()
     total_time = time.perf_counter() - t0
@@ -284,16 +293,27 @@ def solve_problem_with_intermediate_iterates(
 
     out: List[SolverResults] = []
     chains = data.get_pose_chain_names()
+    solved = bool(int(result.status) in SOLVED_STATUSES)
     for it in range(n_iters + 1):
-        values = variable_values_from_x(np.asarray(xs[it]), idx)
+        # the final snapshot uses the result's (best-)iterate — the same
+        # vector solve_score extracts
+        x_it = np.asarray(result.x if it == n_iters else xs[it])
+        values = variable_values_from_x(x_it, idx)
         out.append(
-            SolverResults(
-                variables=values,
-                total_time=total_time,
-                solved=bool(int(result.status) in SOLVED_STATUSES) and it == n_iters,
-                pose_chain_names=chains,
-                iterations=it,
-                relaxation=relaxation_type,
+            unscale_results(
+                SolverResults(
+                    variables=values,
+                    total_time=total_time,
+                    solved=solved and it == n_iters,
+                    pose_chain_names=chains,
+                    iterations=it,
+                    primal_objective=(
+                        float(result.pobj) if it == n_iters else float("nan")
+                    ),
+                    gap=float(result.gap) if it == n_iters else float("nan"),
+                    relaxation=relaxation_type,
+                ),
+                scale,
             )
         )
     return out

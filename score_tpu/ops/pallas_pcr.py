@@ -433,6 +433,19 @@ def _ppcr_solve_impl(factors: PPCRFactors, rhs: TF, interpret=None,
     CT = C * T
     if group is None:
         group = _chunk_group(C, T, Db)
+    extra = (-C) % group
+    if extra:
+        # factors whose lane padding was stripped (the custom_vmap rules
+        # return per-trial views): restore chunk alignment with
+        # decoupled identity chains + zero rhs
+        pad = _identity_factor_lanes(factors.E.hi.shape[0], Db, extra * T)
+        factors = jax.tree_util.tree_map(
+            lambda a, p: jnp.concatenate([a, p], -1), factors, pad
+        )
+        z = jnp.zeros((extra, T, Db, K), jnp.float32)
+        rhs = TF(jnp.concatenate([rhs.hi, z]), jnp.concatenate([rhs.lo, z]))
+        C += extra
+        CT = C * T
     CTc = group * T
     # rhs-chunk budget: two-float _mm internals keep ~15 live temporaries
     # of the (Db, Kc, CTc) operand size, so the operand itself must stay
@@ -492,48 +505,25 @@ def _ppcr_solve_impl(factors: PPCRFactors, rhs: TF, interpret=None,
 # kernels already treat chains as fully independent lanes, so a batch of
 # B same-structure problems x C chains IS just B*C chains: the
 # custom_vmap rules below reshape the batch into the chain axis
-# (trial-major lane order), call the same gridless kernels once, and
-# unfold. Each trial's chain count is first padded to the asymptotic
-# chunk group so the folded chain count is chunk-aligned and lanes stay
-# per-trial contiguous. This is what makes the mixed-precision band
-# vmappable for Monte-Carlo batches (parallel/batch.py) on TPU.
+# (trial-major lane order), call the same gridless kernels once at the
+# FULL budget chunk size (launch count scales with total lanes / budget,
+# not with the trial count — a 100-trial batch of 4-chain worlds runs
+# 16-chain chunks, not 100 x 4-chain calls), and unfold. Alignment
+# padding happens at the folded level: identity chains appended after
+# all trials, sliced off before the per-trial reshape. This is what
+# makes the mixed-precision band vmappable for Monte-Carlo batches
+# (parallel/batch.py) on TPU.
 
 
-def _budget_group(T: int, Db: int) -> int:
-    """Largest power-of-two chain group within the per-call VMEM budget.
-    Under ``ppcr_supported`` this is always >= the 128-lane alignment
-    floor 128 // T (itself a power of two for the power-of-two T the
-    callers use)."""
-    budget = max(1, _LANE_ELEMS_MAX // (Db * Db * T))
-    g2 = 1
-    while g2 * 2 <= budget:
-        g2 *= 2
-    return g2
-
-
-def _batch_group(C: int, T: int, Db: int) -> int:
-    """Chunk group for a batched (folded) call: within the VMEM budget,
-    at least the 128-lane alignment floor, and no larger than the
-    per-trial chain count needs — each trial pads its chains to a
-    multiple of this, so the folded batch is chunk-aligned for ANY trial
-    count while the padding stays <= 2x per trial."""
-    c2 = 1
-    while c2 < C:
-        c2 *= 2
-    g = min(_budget_group(T, Db), c2)
-    if T < 128:
-        g = max(g, 128 // T)
-    return g
-
-
-def _divisor_group(Cp: int, T: int, Db: int) -> int:
-    """Chunk group for a folded batch whose per-trial chain count Cp is
-    already padded: the largest power of two dividing Cp, budget-capped.
-    Dividing Cp guarantees it divides B * Cp for any trial count, and it
-    is >= the alignment floor because the factor-time group (which
-    divides Cp) was."""
-    p = Cp & (-Cp)  # largest power of two dividing Cp
-    return min(_budget_group(T, Db), p)
+def _identity_factor_lanes(L_Db: int, Db: int, lanes: int):
+    """PPCRFactors lane-padding: decoupled identity chains (E = F = 0,
+    invD = I) solve to zero for zero rhs."""
+    z = jnp.zeros((L_Db, Db, lanes), jnp.float32)
+    eye = jnp.broadcast_to(
+        jnp.eye(Db, dtype=jnp.float32)[:, :, None], (Db, Db, lanes)
+    )
+    zi = jnp.zeros((Db, Db, lanes), jnp.float32)
+    return PPCRFactors(E=TF(z, z), F=TF(z, z), invD=TF(eye, zi))
 
 
 def _bcast_leaves(tree, flags, B):
@@ -558,30 +548,15 @@ def _ppcr_factor_vmap_rule(axis_size, in_batched, D, U):
     D = _bcast_leaves(D, in_batched[0], B)
     U = _bcast_leaves(U, in_batched[1], B)
     _, C, T, Db, _ = D.hi.shape
-    g = _batch_group(C, T, Db)
-    Cp = -(-C // g) * g
-    if Cp != C:
-        extra = Cp - C
-        eye = jnp.broadcast_to(
-            jnp.eye(Db, dtype=jnp.float32), (B, extra, T, Db, Db)
-        )
-        zb = jnp.zeros((B, extra, T, Db, Db), jnp.float32)
-        D = TF(
-            jnp.concatenate([D.hi, eye], 1), jnp.concatenate([D.lo, zb], 1)
-        )
-        U = TF(
-            jnp.concatenate([U.hi, zb], 1), jnp.concatenate([U.lo, zb], 1)
-        )
-    fold = lambda a: a.reshape((B * Cp,) + a.shape[2:])
+    fold = lambda a: a.reshape((B * C,) + a.shape[2:])
+    # the impl pads the folded chain count to its own (budget-sized)
+    # chunk group with identity chains; slice those off before the
+    # per-trial unfold (lane order is trial-major: chain = b*C + c)
     f = _ppcr_factor_impl(
-        TF(fold(D.hi), fold(D.lo)), TF(fold(U.hi), fold(U.lo)), None,
-        group=g,
+        TF(fold(D.hi), fold(D.lo)), TF(fold(U.hi), fold(U.lo)), None
     )
-    # lane axis is (B*Cp*T,), trial-major (chain = b*Cp + c), and the
-    # internal chunk padding is vacuous because g divides B*Cp — so the
-    # per-trial unfold is a pure reshape.
     unfold = lambda a: jnp.moveaxis(
-        a.reshape(a.shape[0], a.shape[1], B, Cp * T), 2, 0
+        a[..., : B * C * T].reshape(a.shape[0], a.shape[1], B, C * T), 2, 0
     )
     out = jax.tree_util.tree_map(unfold, f)
     return out, jax.tree_util.tree_map(lambda _: True, out)
@@ -598,24 +573,17 @@ def _ppcr_solve_vmap_rule(axis_size, in_batched, factors, rhs):
     factors = _bcast_leaves(factors, in_batched[0], B)
     rhs = _bcast_leaves(rhs, in_batched[1], B)
     _, C, T, Db, K = rhs.hi.shape
-    CpT = factors.invD.hi.shape[-1]
-    Cp = CpT // T
-    if Cp != C:
-        z = jnp.zeros((B, Cp - C, T, Db, K), jnp.float32)
-        rhs = TF(
-            jnp.concatenate([rhs.hi, z], 1), jnp.concatenate([rhs.lo, z], 1)
-        )
+    CT = factors.invD.hi.shape[-1]  # per-trial lane count (= C*T)
     fold_f = lambda a: jnp.moveaxis(a, 0, 2).reshape(
-        a.shape[1], a.shape[2], B * CpT
+        a.shape[1], a.shape[2], B * CT
     )
-    fold_r = lambda a: a.reshape((B * Cp,) + a.shape[2:])
-    x = _ppcr_solve_impl(
-        jax.tree_util.tree_map(fold_f, factors),
-        TF(fold_r(rhs.hi), fold_r(rhs.lo)),
-        None,
-        group=_divisor_group(Cp, T, Db),
-    )
-    unfold = lambda a: a.reshape((B, Cp) + a.shape[1:])[:, :C]
+    ff = jax.tree_util.tree_map(fold_f, factors)
+    fold_r = lambda a: a.reshape((B * C,) + a.shape[2:])
+    rf = TF(fold_r(rhs.hi), fold_r(rhs.lo))
+    # the impl chunk-aligns the folded batch itself (identity-chain
+    # factor lanes + zero rhs chains) and slices back to B*C
+    x = _ppcr_solve_impl(ff, rf, None)
+    unfold = lambda a: a.reshape((B, C) + a.shape[1:])
     out = jax.tree_util.tree_map(unfold, x)
     return out, jax.tree_util.tree_map(lambda _: True, out)
 
@@ -634,3 +602,185 @@ def ppcr_solve_pallas(factors: PPCRFactors, rhs: TF, interpret=None) -> TF:
     if interpret is None:
         return _ppcr_solve_vmappable(factors, rhs)
     return _ppcr_solve_impl(factors, rhs, interpret)
+
+
+# ------------------------------------------------------------------ #
+# Segmented band: chains too long for one VMEM-resident factorization
+# ------------------------------------------------------------------ #
+#
+# A Db-wide chain fits the fused kernels only while Db*Db*T stays inside
+# the per-call budget — 3D pose blocks (Db = 12) cap out at T = 256.
+# Longer chains are handled by block substructuring (SPIKE-style): split
+# each chain into S segments of Ts = the largest supported power of two;
+# the segment INTERIORS are independent block-tridiagonal pseudo-chains
+# (factored lane-parallel by the same kernels), and the S interface
+# blocks (the first block of each segment) form a new length-S
+# block-tridiagonal chain whose blocks are Schur complements through the
+# interiors:
+#
+#   Shat_k      = D_{g_k} - U_{g_k} Z^L_k[0] - U_{m_k}' Z^R_{k-1}[m]
+#   Uhat_k      = - U_{g_k}... (coupling g_k -> g_{k+1} through seg k)
+#   (g_k = k Ts, m_k = (k+1) Ts - 1; Z^{L,R} = interior^{-1} B^{L,R},
+#    B^L one nonzero row U_{g_k}' at the first interior row, B^R one
+#    nonzero row U_{m_k} at the last)
+#
+# The interface chain is tiny (S = T / Ts, e.g. 4) and is factored with
+# the jnp two-float PCR. A solve is: interior pre-solve (Pallas) ->
+# interface reduction -> interface solve -> interior correction with the
+# stored Z panels. Everything is static reshapes + the existing public
+# (vmappable) kernel entries, so the segmented band composes with vmap.
+
+
+class SegPPCRFactors(NamedTuple):
+    """Factors of a segmented band (see module comment above)."""
+
+    interior: PPCRFactors  # pseudo-chains (C*S, Tsp) at Db
+    ZL: jnp.ndarray  # (C, S, Tsp, Db, Db) f64 interior^{-1} B^L
+    ZR: jnp.ndarray  # (C, S, Tsp, Db, Db)
+    iface: "object"  # pcr_tf factors of the (C, S) interface chain
+    UgL: jnp.ndarray  # (C, S, Db, Db) U_{g_k} (interface -> first interior)
+    UmR: jnp.ndarray  # (C, S, Db, Db) U_{m_k} (last interior -> interface)
+
+
+def seg_lengths(T: int, Db: int):
+    """(Ts, S) for a segmented factorization of length-T chains, or None
+    when the plain kernels already fit / no supported segment exists."""
+    if ppcr_supported(T, Db):
+        return None
+    Ts = 1
+    while Ts * 2 <= T and ppcr_supported(Ts * 2, Db):
+        Ts *= 2
+    if Ts < 8 or T % Ts != 0:
+        return None
+    return Ts, T // Ts
+
+
+def seg_factor_pallas(D: TF, U: TF, Ts: int) -> SegPPCRFactors:
+    """Factor (C, T, Db, Db) two-float chains via segment substructuring.
+
+    T must be a multiple of Ts (both powers of two, as produced by
+    pcr_pad_length). Interface work runs in jnp two-float; Z panels and
+    Schur products drop to f64 (same compromise as the chain-arrow
+    coupling panels — the IPM's refinement sees true residuals).
+    """
+    from score_tpu.solver.pcr_tf import pcr_factor_tf
+
+    C, T, Db, _ = D.hi.shape
+    S = T // Ts
+    Tsp = Ts  # interior length Ts-1 padded back up to Ts (power of two)
+
+    def seg_view(a):
+        return a.reshape(C, S, Ts, Db, Db)
+
+    Dsg = jax.tree_util.tree_map(seg_view, D)
+    Usg = jax.tree_util.tree_map(seg_view, U)
+
+    # interface blocks g_k = k*Ts
+    Dg = TF(Dsg.hi[:, :, 0], Dsg.lo[:, :, 0])  # (C, S, Db, Db)
+    UgL = Usg.hi[:, :, 0].astype(jnp.float64) + Usg.lo[:, :, 0]  # U_{g_k}
+    UmR = (
+        Usg.hi[:, :, Ts - 1].astype(jnp.float64) + Usg.lo[:, :, Ts - 1]
+    )  # U_{m_k}; the last segment's is the zero chain terminator
+
+    # interiors: nodes kTs+1 .. kTs+Ts-1, padded with one identity slot
+    eye = jnp.broadcast_to(jnp.eye(Db, dtype=jnp.float32), (C, S, 1, Db, Db))
+    zero = jnp.zeros((C, S, 1, Db, Db), jnp.float32)
+    Di = TF(
+        jnp.concatenate([Dsg.hi[:, :, 1:], eye], 2),
+        jnp.concatenate([Dsg.lo[:, :, 1:], zero], 2),
+    )
+    # interior off-diagonals: U at kTs+1 .. kTs+Ts-2; the one at Ts-1
+    # couples to the NEXT interface and is cut here
+    Ui = TF(
+        jnp.concatenate([Usg.hi[:, :, 1 : Ts - 1], zero, zero], 2),
+        jnp.concatenate([Usg.lo[:, :, 1 : Ts - 1], zero, zero], 2),
+    )
+    fold = lambda a: a.reshape(C * S, Tsp, Db, Db)
+    interior = ppcr_factor_pallas(
+        jax.tree_util.tree_map(fold, Di), jax.tree_util.tree_map(fold, Ui)
+    )
+
+    # spike panels: B^L row 0 = U_{g_k}', B^R row Ts-2 = U_{m_k}
+    B = jnp.zeros((C, S, Tsp, Db, 2 * Db), jnp.float32)
+    B = B.at[:, :, 0, :, :Db].set(
+        jnp.swapaxes(Usg.hi[:, :, 0], -1, -2)
+    )
+    B = B.at[:, :, Ts - 2, :, Db:].set(Usg.hi[:, :, Ts - 1])
+    Blo = jnp.zeros_like(B)
+    Blo = Blo.at[:, :, 0, :, :Db].set(
+        jnp.swapaxes(Usg.lo[:, :, 0], -1, -2)
+    )
+    Blo = Blo.at[:, :, Ts - 2, :, Db:].set(Usg.lo[:, :, Ts - 1])
+    Z = ppcr_solve_pallas(
+        interior, TF(B.reshape(C * S, Tsp, Db, 2 * Db),
+                     Blo.reshape(C * S, Tsp, Db, 2 * Db))
+    )
+    Zf = tfm.to_f64(Z).reshape(C, S, Tsp, Db, 2 * Db)
+    ZL, ZR = Zf[..., :Db], Zf[..., Db:]
+
+    # interface Schur chain (f64 assembly, two-float factorization)
+    Dg64 = Dg.hi.astype(jnp.float64) + Dg.lo
+    Shat = Dg64 - jnp.einsum("csij,csjk->csik", UgL, ZL[:, :, 0])
+    # right-spike contribution of the PREVIOUS segment onto g_k (k>=1)
+    prevR = jnp.einsum(
+        "csji,csjk->csik", UmR[:, :-1], ZR[:, :-1, Ts - 2]
+    )
+    Shat = Shat.at[:, 1:].add(-prevR)
+    # interface off-diagonal g_k -> g_{k+1} through segment k:
+    # -(B^L)' Z^R = -U_{g_k} Z^R[0]
+    Uhat = -jnp.einsum("csij,csjk->csik", UgL[:, :-1], ZR[:, :-1, 0])
+    Uhat = jnp.concatenate(
+        [Uhat, jnp.zeros((C, 1, Db, Db), jnp.float64)], 1
+    )
+    iface = jax.vmap(pcr_factor_tf)(tfm.from_f64(Shat), tfm.from_f64(Uhat))
+
+    return SegPPCRFactors(
+        interior=interior, ZL=ZL, ZR=ZR, iface=iface, UgL=UgL, UmR=UmR
+    )
+
+
+def seg_solve_pallas(factors: SegPPCRFactors, rhs: TF) -> TF:
+    """Solve through a segmented factorization; rhs (C, T, Db, K)."""
+    from score_tpu.solver.pcr_tf import pcr_solve_tf
+
+    C, T, Db, K = rhs.hi.shape
+    S = factors.ZL.shape[1]
+    Ts = T // S
+    Tsp = factors.ZL.shape[2]
+
+    seg = lambda a: a.reshape(C, S, Ts, Db, K)
+    bs = jax.tree_util.tree_map(seg, rhs)
+    bg = bs.hi[:, :, 0].astype(jnp.float64) + bs.lo[:, :, 0]  # (C,S,Db,K)
+    zero = jnp.zeros((C, S, 1, Db, K), jnp.float32)
+    bi = TF(
+        jnp.concatenate([bs.hi[:, :, 1:], zero], 2),
+        jnp.concatenate([bs.lo[:, :, 1:], zero], 2),
+    )
+    fold = lambda a: a.reshape(C * S, Tsp, Db, K)
+    w = ppcr_solve_pallas(factors.interior, jax.tree_util.tree_map(fold, bi))
+    w64 = tfm.to_f64(w).reshape(C, S, Tsp, Db, K)
+
+    # interface rhs reduction
+    rg = bg - jnp.einsum("csij,csjk->csik", factors.UgL, w64[:, :, 0])
+    rg = rg.at[:, 1:].add(
+        -jnp.einsum(
+            "csji,csjk->csik", factors.UmR[:, :-1], w64[:, :-1, Ts - 2]
+        )
+    )
+    y = tfm.to_f64(
+        jax.vmap(pcr_solve_tf)(factors.iface, tfm.from_f64(rg))
+    )  # (C, S, Db, K)
+
+    # interior correction: x_I = w - Z^L y_k - Z^R y_{k+1}
+    ynext = jnp.concatenate(
+        [y[:, 1:], jnp.zeros((C, 1, Db, K), jnp.float64)], 1
+    )
+    xI = (
+        w64
+        - jnp.einsum("cstij,csjk->cstik", factors.ZL, y)
+        - jnp.einsum("cstij,csjk->cstik", factors.ZR, ynext)
+    )
+
+    x = jnp.concatenate([y[:, :, None], xI[:, :, : Ts - 1]], 2)
+    x = x.reshape(C, T, Db, K)
+    return tfm.from_f64(x)

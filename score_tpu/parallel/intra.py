@@ -76,10 +76,18 @@ def solve_conic_chain_sharded(
     mesh: Optional[Mesh] = None,
     params: IPMParams = IPMParams(),
     axis_name: str = "chains",
+    backend=ChainArrowBackend,
 ) -> IPMResult:
     """Solve one conic problem with the chain+arrow backend sharded over
     ``mesh``: the chain axis is padded up to a multiple of the mesh size
     (inactive identity chains) and partitioned across devices.
+
+    ``backend`` may be :class:`MixedChainArrowBackend` — its band runs
+    the jnp two-float path under GSPMD (the fused Pallas kernels are a
+    single-device construct; per-device lanes would need a shard_map
+    wrapper, so the backend's `_use_pallas_pcr` gate keeps them off the
+    sharded path off-TPU, and multi-chip TPU meshes should prefer the
+    data-parallel batch axis for throughput).
     """
     mesh = mesh or Mesh(np.array(jax.devices()), (axis_name,))
     n_dev = int(np.prod(mesh.devices.shape))
@@ -100,6 +108,4 @@ def solve_conic_chain_sharded(
             )
         },
     )
-    return solve_conic(
-        problem, params, backend=ChainArrowBackend, backend_aux=aux
-    )
+    return solve_conic(problem, params, backend=backend, backend_aux=aux)

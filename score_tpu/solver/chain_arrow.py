@@ -65,9 +65,13 @@ from score_tpu.ops import twofloat as tfm
 from score_tpu.ops.twofloat import TF
 from score_tpu.ops.pallas_pcr import (
     PPCRFactors,
+    SegPPCRFactors,
     ppcr_factor_pallas,
     ppcr_solve_pallas,
     ppcr_supported,
+    seg_factor_pallas,
+    seg_lengths,
+    seg_solve_pallas,
 )
 from score_tpu.solver.linops import G_apply
 from score_tpu.solver.pcr import PCRFactors, pcr_factor, pcr_pad_length, pcr_solve
@@ -930,16 +934,26 @@ class ChainArrowBackend:
 
         # Two-float band selection: the fused Pallas kernels chunk chains
         # into lane-budgeted calls, so only a single chain too long for
-        # the per-call VMEM budget is unservable. In that case TPU
-        # degrades to the plain f64 band (the jnp two-float path is
-        # dispatch-bound there); CPU keeps the jnp two-float path
-        # (tests, reference).
+        # the per-call VMEM budget is unservable directly — those (3D
+        # blocks, Db = 12, at T > 256) go through the SEGMENTED band
+        # (pallas_pcr.seg_factor_pallas: SPIKE-style substructuring into
+        # budget-sized interior pseudo-chains + a small two-float
+        # interface chain). CPU keeps the jnp two-float path (tests,
+        # reference).
         pallas_fits = ppcr_supported(Tp, D)
+        seg = None if pallas_fits else seg_lengths(Tp, D)
         on_tpu = jax.default_backend() == "tpu"
         if use_tf and _use_pallas_pcr() and pallas_fits:
             pcrf = ppcr_factor_pallas(tfm.from_f64(Dp), tfm.from_f64(Up))
             Z = tfm.to_f64(
                 ppcr_solve_pallas(pcrf, tfm.from_f64(Bp))
+            ).astype(dtype)
+        elif use_tf and _use_pallas_pcr() and seg is not None:
+            pcrf = seg_factor_pallas(
+                tfm.from_f64(Dp), tfm.from_f64(Up), seg[0]
+            )
+            Z = tfm.to_f64(
+                seg_solve_pallas(pcrf, tfm.from_f64(Bp))
             ).astype(dtype)
         elif use_tf and not on_tpu:
             pcrf = jax.vmap(pcr_factor_tf)(tfm.from_f64(Dp), tfm.from_f64(Up))
@@ -1014,7 +1028,11 @@ class ChainArrowBackend:
             ra = ra * factors.dA
         Tp = factors.B.shape[1]
         rp = jnp.zeros((C, Tp, D, 1), dtype=dtype).at[:, :T].set(rc[..., None])
-        if isinstance(factors.pcr, PPCRFactors):
+        if isinstance(factors.pcr, SegPPCRFactors):
+            w = tfm.to_f64(
+                seg_solve_pallas(factors.pcr, tfm.from_f64(rp))
+            ).astype(dtype)[..., 0]
+        elif isinstance(factors.pcr, PPCRFactors):
             w = tfm.to_f64(
                 ppcr_solve_pallas(factors.pcr, tfm.from_f64(rp))
             ).astype(dtype)[..., 0]

@@ -694,9 +694,9 @@ def _make_initial_state(backend, problem, state_ops, params,
 
 
 def _scan_solve(backend, problem, params, num_iters, record_iterates,
-                backend_aux=None, record_metrics=False):
+                backend_aux=None, record_metrics=False, warm_start=None):
     state_ops = backend.prepare(problem, backend_aux)
-    st0 = _make_initial_state(backend, problem, state_ops, params)
+    st0 = _make_initial_state(backend, problem, state_ops, params, warm_start)
 
     def scan_body(st, _):
         if params.branchless:
@@ -783,6 +783,7 @@ def solve_conic_with_iterates(
     num_iters: int = 50,
     backend=DenseBackend,
     backend_aux=None,
+    warm_start=None,
 ) -> Tuple[IPMResult, jnp.ndarray]:
     """Like :func:`solve_conic` but records x after every iteration
     (parity with the reference's BarIterLimit iterate sweep,
@@ -791,4 +792,5 @@ def solve_conic_with_iterates(
     Returns (result, xs) with xs of shape (num_iters + 1, n); iterations
     after convergence repeat the converged x.
     """
-    return _scan_solve(backend, problem, params, num_iters, True, backend_aux)
+    return _scan_solve(backend, problem, params, num_iters, True, backend_aux,
+                       warm_start=warm_start)

@@ -103,3 +103,33 @@ def test_3d_solution_recovery(fg3d):
     t5 = np.asarray(res.poses["A5"])[:3, 3]
     gt5 = np.asarray(fg3d.pose_variables_dict["A5"].true_position)
     assert np.linalg.norm(t5 - gt5) < 1.5
+
+
+def test_3d_simulator_end_to_end():
+    """simulate_3d_world -> g2o round-trip -> chain_arrow solve -> ATE."""
+    import os
+    import tempfile
+
+    from score_tpu.api import ScoreSolverParams, solve_score
+    from score_tpu.fg import parse_g2o_file, save_to_g2o_file
+    from score_tpu.sim.world3d import World3DParams, simulate_3d_world
+    from score_tpu.utils.metrics import ate_against_ground_truth
+
+    fg = simulate_3d_world(
+        World3DParams(
+            num_poses_per_robot=20,
+            num_landmarks=3,
+            range_measure_prob=0.5,
+            seed=2,
+        )
+    )
+    with tempfile.TemporaryDirectory() as td:
+        path = os.path.join(td, "w.g2o")
+        save_to_g2o_file(fg, path)
+        fg2 = parse_g2o_file(path)
+    assert fg2.num_poses == fg.num_poses
+    assert len(fg2.range_measurements) == len(fg.range_measurements)
+    res = solve_score(fg2, SOCP_RELAXATION, ScoreSolverParams(max_iter=40))
+    assert res.solved
+    ates = ate_against_ground_truth(res, fg)
+    assert ates["A"]["rmse"] < 1.0

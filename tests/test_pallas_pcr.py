@@ -104,3 +104,36 @@ def test_pallas_pcr_vmap_folds_batch_into_lanes():
     for b in range(B):
         single = np.asarray(solve_one(Db_[b], Ub_[b], Rb_[b]))
         assert np.max(np.abs(batched[b] - single)) < 1e-9, b
+
+
+def test_segmented_band_matches_dense():
+    """SPIKE-style substructuring (the 3D fast path for chains whose
+    Db*Db*T exceeds the per-kernel VMEM budget): interiors through the
+    fused kernels, interfaces through the two-float jnp PCR."""
+    from score_tpu.ops.pallas_pcr import (
+        seg_factor_pallas,
+        seg_lengths,
+        seg_solve_pallas,
+    )
+
+    # budget constants make real 3D cases (Db=12, T=1024 -> Ts=256) too
+    # slow for interpret mode; algebra is block-size independent
+    assert seg_lengths(1024, 12) == (256, 4)
+
+    T, Db, C = 32, 3, 2
+    D0, U0 = _block_tridiag(T, Db, 0)
+    D1, U1 = _block_tridiag(T, Db, 1)
+    D = np.stack([D0, D1])
+    U = np.stack([U0, U1])
+    rhs = np.random.default_rng(2).standard_normal((C, T, Db, 2))
+    fac = seg_factor_pallas(
+        tfm.from_f64(jnp.asarray(D)), tfm.from_f64(jnp.asarray(U)), Ts=8
+    )
+    x = np.asarray(tfm.to_f64(seg_solve_pallas(fac, tfm.from_f64(jnp.asarray(rhs)))))
+    for c in range(C):
+        K = _dense(D[c], U[c])
+        xref = np.linalg.solve(K, rhs[c].reshape(T * Db, 2))
+        err = np.max(np.abs(x[c].reshape(T * Db, 2) - xref)) / np.max(
+            np.abs(xref)
+        )
+        assert err < 1e-6, (c, err)
