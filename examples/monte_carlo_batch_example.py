@@ -62,7 +62,7 @@ def main() -> None:
         else ChainArrowBackend
     )
     print("backend:", backend.__name__)
-    params = IPMParams(max_iter=30)
+    params = IPMParams(max_iter=20)
     t0 = time.time()
     res = solve_conic_batch(batch, params, backend=backend, backend_aux=ca)
     np.asarray(res.x)

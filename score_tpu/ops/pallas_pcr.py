@@ -150,7 +150,11 @@ def _shift(x: TF, s, T: int, down: bool) -> TF:
 def _mm(A: TF, B: TF) -> TF:
     """Block matmul on (i, k, M) x (k, j, M) -> (i, j, M): lane-parallel
     over M, contraction accumulated over the static k (no (i,k,j,M)
-    intermediate — register pressure is what blows Mosaic compile time)."""
+    intermediate — register pressure is what blows Mosaic compile time).
+    Accumulation uses the sloppy add (exact hi-limb two-sum, plain error
+    accumulation) with one final renormalization — same 2^-45-grade
+    result over these short chains at ~60% of the fully-normalized add's
+    flops."""
     k = A.hi.shape[1]
 
     def term(kk):
@@ -162,8 +166,8 @@ def _mm(A: TF, B: TF) -> TF:
 
     acc = term(0)
     for kk in range(1, k):
-        acc = tfm.add(acc, term(kk))
-    return acc
+        acc = tfm.add_sloppy(acc, term(kk))
+    return tfm.normalize(acc) if k > 1 else acc
 
 
 def _transpose_blocks(A: TF) -> TF:
@@ -220,6 +224,23 @@ def _block_inv(D: TF, Db: int) -> TF:
 # ------------------------------------------------------------------ #
 
 
+def _level_body(D: TF, A: TF, C: TF, s, Db: int, T: int):
+    """One PCR elimination level: returns (E, F, D', A', C')."""
+    invD = _block_inv(D, Db)
+    E = tfm.neg(_mm(A, _shift(invD, s, T, down=True)))
+    F = tfm.neg(_mm(C, _shift(invD, s, T, down=False)))
+    D2 = tfm.normalize(
+        tfm.add_sloppy(
+            D,
+            tfm.add_sloppy(_mm(E, _shift(C, s, T, down=True)),
+                           _mm(F, _shift(A, s, T, down=False))),
+        )
+    )
+    A2 = _mm(E, _shift(A, s, T, down=True))
+    C2 = _mm(F, _shift(C, s, T, down=False))
+    return E, F, D2, A2, C2
+
+
 def _factor_level_kernel(s_ref, dhi, dlo, ahi, alo, chi, clo,
                          ehi, elo, fhi, flo,
                          d2hi, d2lo, a2hi, a2lo, c2hi, c2lo,
@@ -238,15 +259,33 @@ def _factor_level_kernel(s_ref, dhi, dlo, ahi, alo, chi, clo,
     D = TF(dhi[...], dlo[...])
     A = TF(ahi[...], alo[...])
     C = TF(chi[...], clo[...])
-    invD = _block_inv(D, Db)
-    E = tfm.neg(_mm(A, _shift(invD, s, T, down=True)))
-    F = tfm.neg(_mm(C, _shift(invD, s, T, down=False)))
+    E, F, D2, A2, C2 = _level_body(D, A, C, s, Db, T)
     ehi[...], elo[...] = E.hi, E.lo
     fhi[...], flo[...] = F.hi, F.lo
-    D2 = tfm.add(D, tfm.add(_mm(E, _shift(C, s, T, down=True)),
-                            _mm(F, _shift(A, s, T, down=False))))
-    A2 = _mm(E, _shift(A, s, T, down=True))
-    C2 = _mm(F, _shift(C, s, T, down=False))
+    d2hi[...], d2lo[...] = D2.hi, D2.lo
+    a2hi[...], a2lo[...] = A2.hi, A2.lo
+    c2hi[...], c2lo[...] = C2.hi, C2.lo
+
+
+def _factor_level2_kernel(s_ref, dhi, dlo, ahi, alo, chi, clo,
+                          e1hi, e1lo, f1hi, f1lo,
+                          e2hi, e2lo, f2hi, f2lo,
+                          d2hi, d2lo, a2hi, a2lo, c2hi, c2lo,
+                          *, Db: int, T: int):
+    """TWO consecutive PCR levels in one launch (launch count is a
+    meaningful cost on this runtime): s and 2s eliminations back to
+    back. The extra held (E1, F1) outputs fit the VMEM budget for 2D
+    block sizes (Db <= 8); 3D stays on the single-level kernel."""
+    s = s_ref[0]
+    D = TF(dhi[...], dlo[...])
+    A = TF(ahi[...], alo[...])
+    C = TF(chi[...], clo[...])
+    E1, F1, D1, A1, C1 = _level_body(D, A, C, s, Db, T)
+    e1hi[...], e1lo[...] = E1.hi, E1.lo
+    f1hi[...], f1lo[...] = F1.hi, F1.lo
+    E2, F2, D2, A2, C2 = _level_body(D1, A1, C1, s * 2, Db, T)
+    e2hi[...], e2lo[...] = E2.hi, E2.lo
+    f2hi[...], f2lo[...] = F2.hi, F2.lo
     d2hi[...], d2lo[...] = D2.hi, D2.lo
     a2hi[...], a2lo[...] = A2.hi, A2.lo
     c2hi[...], c2lo[...] = C2.hi, C2.lo
@@ -274,8 +313,13 @@ def _solve_kernel(ehi, elo, fhi, flo, ivhi, ivlo, bhi, blo,
         r = pl.ds(lev * Db, Db)
         E = TF(ehi[r], elo[r])
         F = TF(fhi[r], flo[r])
-        return tfm.add(b, tfm.add(_mm(E, _shift(b, s, T, down=True)),
-                                  _mm(F, _shift(b, s, T, down=False))))
+        return tfm.normalize(
+            tfm.add_sloppy(
+                b,
+                tfm.add_sloppy(_mm(E, _shift(b, s, T, down=True)),
+                               _mm(F, _shift(b, s, T, down=False))),
+            )
+        )
 
     b = (
         jax.lax.fori_loop(jnp.int32(0), jnp.int32(L), level, b0)
@@ -365,6 +409,17 @@ def _ppcr_factor_impl(D: TF, U: TF, interpret=None, group=None) -> PPCRFactors:
         out_shape=(shp_b,) * 10,
         interpret=interpret,
     )
+    level2_call = pl.pallas_call(
+        functools.partial(_factor_level2_kernel, Db=Db, T=T),
+        in_specs=[smem] + [_vspec()] * 6,
+        out_specs=(_vspec(),) * 14,
+        out_shape=(shp_b,) * 14,
+        interpret=interpret,
+    )
+    # dual-level launches halve the factor's launch count; the extra
+    # held (E1, F1) outputs only fit the VMEM budget for 2D block sizes
+    fuse2 = Db <= 8
+
     inv_call = pl.pallas_call(
         functools.partial(_block_inv_kernel, Db=Db),
         in_specs=[_vspec()] * 2,
@@ -384,14 +439,28 @@ def _ppcr_factor_impl(D: TF, U: TF, interpret=None, group=None) -> PPCRFactors:
                 ahi, alo = init_call(uhi, ulo)
                 chi, clo = uhi, ulo
                 Es, Fs = [], []
-                for lev in range(levels):
+                lev = 0
+                while lev < levels:
                     sarg = jnp.asarray([1 << lev], jnp.int32)
-                    (ehi, elo, fhi, flo, dhi, dlo,
-                     ahi, alo, chi, clo) = level_call(
-                        sarg, dhi, dlo, ahi, alo, chi, clo
-                    )
-                    Es.append((ehi, elo))
-                    Fs.append((fhi, flo))
+                    if fuse2 and lev + 1 < levels:
+                        (e1hi, e1lo, f1hi, f1lo,
+                         e2hi, e2lo, f2hi, f2lo,
+                         dhi, dlo, ahi, alo, chi, clo) = level2_call(
+                            sarg, dhi, dlo, ahi, alo, chi, clo
+                        )
+                        Es.append((e1hi, e1lo))
+                        Fs.append((f1hi, f1lo))
+                        Es.append((e2hi, e2lo))
+                        Fs.append((f2hi, f2lo))
+                        lev += 2
+                    else:
+                        (ehi, elo, fhi, flo, dhi, dlo,
+                         ahi, alo, chi, clo) = level_call(
+                            sarg, dhi, dlo, ahi, alo, chi, clo
+                        )
+                        Es.append((ehi, elo))
+                        Fs.append((fhi, flo))
+                        lev += 1
                 Ehs.append(jnp.concatenate([e[0] for e in Es], axis=0))
                 Els.append(jnp.concatenate([e[1] for e in Es], axis=0))
                 Fhs.append(jnp.concatenate([f[0] for f in Fs], axis=0))

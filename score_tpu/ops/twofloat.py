@@ -78,6 +78,8 @@ __all__ = [
     "from_f64",
     "neg",
     "add",
+    "add_sloppy",
+    "normalize",
     "sub",
     "mul",
     "div",
@@ -167,6 +169,23 @@ def add(a: TF, b: TF) -> TF:
     s2 = s2 + t2
     s1, s2 = _quick_two_sum(s1, s2)
     return TF(s1, s2)
+
+
+def add_sloppy(a: TF, b: TF) -> TF:
+    """Accumulation-grade addition (QD 'sloppy add'): exact two-sum on
+    the hi limbs, plain f32 accumulation of the error limbs. Over a
+    k-term contraction the lo limb absorbs O(k) roundings of ~eps^2
+    magnitude — plenty for the band kernels' short (k <= Db) chains at
+    less than half the flops of :func:`add`. The result may be
+    UNNORMALIZED (|lo| can exceed ulp(hi)/2 by a few ulps); call
+    :func:`normalize` before feeding it to mul/div/sqrt chains."""
+    s, e = _two_sum(a.hi, b.hi)
+    return TF(s, e + (a.lo + b.lo))
+
+
+def normalize(a: TF) -> TF:
+    """Renormalize an (hi, lo) pair so |lo| <= ulp(hi)/2."""
+    return TF(*_two_sum(a.hi, a.lo))
 
 
 def sub(a: TF, b: TF) -> TF:

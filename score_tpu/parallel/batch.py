@@ -20,6 +20,7 @@ casing.
 from __future__ import annotations
 
 import dataclasses
+from functools import partial
 from typing import List, Optional, Sequence
 
 import numpy as np
@@ -73,6 +74,21 @@ def stack_problems(problems: Sequence[ConicProblem]) -> ConicProblem:
     return dataclasses.replace(first, **stacked)
 
 
+@partial(jax.jit, static_argnames=("params", "backend"))
+def _batch_solve(batched_problem, backend_aux, params, backend):
+    """Module-level jitted batch body: one cache entry per (params,
+    backend) — a per-call ``jax.jit(jax.vmap(lambda ...))`` would retrace
+    and relower the (large, two-float) graph on EVERY call, which
+    dominated wall-clock (measured: ~145 s of relowering per 'warm'
+    100-trial batch on TPU before this was hoisted)."""
+    return jax.vmap(
+        lambda pb: solve_conic_fixed(
+            pb, params, num_iters=params.max_iter,
+            backend=backend, backend_aux=backend_aux,
+        )
+    )(batched_problem)
+
+
 def solve_conic_batch(
     batched_problem: ConicProblem,
     params: IPMParams = IPMParams(),
@@ -90,15 +106,7 @@ def solve_conic_batch(
     # branchless: required for backends with custom_vmap'd Pallas calls
     # (MixedChainArrowBackend) and free under vmap for the rest
     params = dataclasses.replace(params, branchless=True)
-    fn = jax.jit(
-        jax.vmap(
-            lambda pb: solve_conic_fixed(
-                pb, params, num_iters=params.max_iter,
-                backend=backend, backend_aux=backend_aux,
-            )
-        )
-    )
-    return fn(batched_problem)
+    return _batch_solve(batched_problem, backend_aux, params, backend)
 
 
 def default_mesh(axis_name: str = "trials", devices=None) -> Mesh:
@@ -144,14 +152,4 @@ def solve_conic_sharded(
 
     backend = backend or DenseBackend
     params = dataclasses.replace(params, branchless=True)
-
-    @jax.jit
-    def run(pb):
-        return jax.vmap(
-            lambda p: solve_conic_fixed(
-                p, params, num_iters=params.max_iter,
-                backend=backend, backend_aux=backend_aux,
-            )
-        )(pb)
-
-    return run(batched_problem)
+    return _batch_solve(batched_problem, backend_aux, params, backend)

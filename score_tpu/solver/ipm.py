@@ -142,6 +142,19 @@ class IPMParams:
     # batched cond runs both branches as a select anyway. The batch
     # drivers (parallel/batch.py) enable this automatically.
     branchless: bool = False
+    # Refine the affine (predictor) direction too. The affine direction
+    # only sets sigma and seeds the Mehrotra correction — a first-order-
+    # accurate one is enough (measured: GOATS SOCP/QCQP and the 20-robot
+    # world keep identical iteration counts and relgaps without it), and
+    # skipping its refinement saves one condensed solve + two full-system
+    # residual evaluations per iteration. The combined direction (the one
+    # actually stepped along) is always refined per dir_refine_steps.
+    refine_affine: bool = False
+    # Populate the per-step diagnostics channel (_State.diag) — includes
+    # a full Newton-system residual evaluation (3 operator applications)
+    # per step, so it's off on the production path; solve_conic_traced
+    # switches it on.
+    record_diag: bool = False
 
 
 class IPMResult(NamedTuple):
@@ -391,14 +404,22 @@ def _step(backend, problem: ConicProblem, state_ops, params: IPMParams,
         return solve_newton(rx, rz, d)
 
     def kkt_dirs_correction(d):
-        # pure-centrality correction: zero primal/dual residual rows
+        # pure-centrality correction: zero primal/dual residual rows.
+        # No direction refinement here — correctors/centering only
+        # extend the step length and are accept-gated (alpha must
+        # improve), so the refinement solves that matter for the final
+        # accuracy (affine + combined) don't pay for them. Saves
+        # dir_refine_steps condensed solves per corrector.
         zero_x = jnp.zeros_like(rx)
         zero_z = jnp.zeros_like(rz)
-        return solve_newton(zero_x, zero_z, d)
+        return _condensed(zero_x, zero_z, d)
 
     # --- affine (predictor) direction ---
     d_aff = -cones.jordan_mul(lam, lam)
-    dx_a, ds_a, dz_a = kkt_dirs(d_aff)
+    if params.refine_affine:
+        dx_a, ds_a, dz_a = kkt_dirs(d_aff)
+    else:
+        dx_a, ds_a, dz_a = _condensed(rx, rz, d_aff)
     alpha_a = jnp.minimum(
         1.0, jnp.minimum(cones.max_step(s, ds_a), cones.max_step(z, dz_a))
     )
@@ -516,20 +537,25 @@ def _step(backend, problem: ConicProblem, state_ops, params: IPMParams,
             frac == 0.0, centering_step, mehrotra_step, None
         )
 
-    detprod = cones.soc_residual(s) * cones.soc_residual(z)
-    f1d, f2d, f3d = _newton_resid(rx, rz, d_comb, dx, ds, dz)
-    diag = jnp.stack(
-        [
-            alpha,
-            frac,
-            sigma,
-            jnp.maximum(gap_a, 0.0) / gap,
-            jnp.min(detprod) / jnp.maximum(mu**2, jnp.finfo(dtype).tiny),
-            jnp.where(frac == 0.0, 1.0, 0.0).astype(dtype),
-            alpha_pre,
-            jnp.linalg.norm(f1d) + jnp.linalg.norm(f2d) + jnp.linalg.norm(f3d),
-        ]
-    ).astype(dtype)
+    if params.record_diag:
+        detprod = cones.soc_residual(s) * cones.soc_residual(z)
+        f1d, f2d, f3d = _newton_resid(rx, rz, d_comb, dx, ds, dz)
+        diag = jnp.stack(
+            [
+                alpha,
+                frac,
+                sigma,
+                jnp.maximum(gap_a, 0.0) / gap,
+                jnp.min(detprod) / jnp.maximum(mu**2, jnp.finfo(dtype).tiny),
+                jnp.where(frac == 0.0, 1.0, 0.0).astype(dtype),
+                alpha_pre,
+                jnp.linalg.norm(f1d)
+                + jnp.linalg.norm(f2d)
+                + jnp.linalg.norm(f3d),
+            ]
+        ).astype(dtype)
+    else:
+        diag = jnp.zeros((8,), dtype=dtype)
 
     x_new = x + alpha * dx
     s_new = s + alpha * ds
@@ -770,6 +796,7 @@ def solve_conic_traced(
     step diagnostics [alpha, nbhd_frac, sigma, gap_affine/gap,
     min_detprod/mu^2, centering_flag, alpha_pre_nbhd, newton_resid] —
     the observability hook for convergence monitoring (SURVEY.md §5)."""
+    params = dataclasses.replace(params, record_diag=True)
     return _scan_solve(
         backend, problem, params, num_iters, False, backend_aux,
         record_metrics=True,

@@ -34,6 +34,8 @@ __all__ = [
     "make_transformation_matrix_from_theta",
     "apply_transformation_matrix_perturbation",
     "get_matrix_determinant",
+    "print_eigvals",
+    "print_matrix_blocked",
 ]
 
 
@@ -290,3 +292,52 @@ def _check_transformation_matrix(
     assert np.allclose(T[-1, :], bottom_expected), (
         f"bottom row is {T[-1, :]}, expected {bottom_expected}"
     )
+
+
+# --------------------------------------------------------------------- #
+# Debug printers (parity: matrix_utils.py:395-444 — ad-hoc spectrum and
+# pose-block inspection helpers used while developing relaxations)
+# --------------------------------------------------------------------- #
+
+
+def print_eigvals(
+    M: np.ndarray,
+    name: Optional[str] = None,
+    print_eigvec: bool = False,
+    symmetric: bool = True,
+) -> np.ndarray:
+    """Print (and return, sorted ascending) the eigenvalues of ``M``;
+    optionally the eigenvectors too."""
+    M = np.asarray(M)
+    if symmetric:
+        eigvals, eigvecs = np.linalg.eigh(M)
+    else:
+        eigvals, eigvecs = np.linalg.eig(M)
+    order = np.argsort(eigvals)
+    eigvals, eigvecs = eigvals[order], eigvecs[:, order]
+    if name is not None:
+        print(name)
+    print(f"eigenvalues\n{eigvals}")
+    if print_eigvec:
+        print(f"eigenvectors\n{eigvecs}")
+    return eigvals
+
+
+def print_matrix_blocked(mat: np.ndarray, block: int = 2, fmt: str = "g") -> None:
+    """Pretty-print a matrix with separators every ``block`` rows/columns
+    (pose blocks are d-periodic; the reference used a fixed 2)."""
+    mat = np.asarray(mat)
+    widths = [
+        max(len(("{:" + fmt + "}").format(x)) for x in col) for col in mat.T
+    ]
+    rule = "-" * (sum(widths) + 3 * len(widths))
+    for j, row in enumerate(mat):
+        if j % block == 0:
+            print(rule)
+        cells = [
+            ("{:" + str(widths[i]) + fmt + "}").format(y)
+            + (" |" if (i + 1) % block == 0 else "  ")
+            for i, y in enumerate(row)
+        ]
+        print(" ".join(cells))
+    print(rule)
