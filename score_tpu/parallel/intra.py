@@ -82,18 +82,22 @@ def solve_conic_chain_sharded(
     ``mesh``: the chain axis is padded up to a multiple of the mesh size
     (inactive identity chains) and partitioned across devices.
 
-    ``backend`` may be :class:`MixedChainArrowBackend` — its band runs
-    the jnp two-float path under GSPMD (the fused Pallas kernels are a
-    single-device construct; per-device lanes would need a shard_map
-    wrapper, so the backend's `_use_pallas_pcr` gate keeps them off the
-    sharded path off-TPU, and multi-chip TPU meshes should prefer the
-    data-parallel batch axis for throughput).
+    ``backend`` may be :class:`MixedChainArrowBackend` — the structure
+    carries (mesh, axis) as static fields, and the backend wraps its
+    fused Pallas band factor/solve in ``jax.shard_map`` over the chain
+    axis (GSPMD cannot partition a gridless pallas_call): each device
+    runs the same kernels on its local chain slice, factors stay
+    lane-sharded, and the only collectives remain the two arrow-Schur
+    psums GSPMD already inserts. Shapes the wrapped kernels cannot take
+    (segmented 3D bands) fall back to the GSPMD-partitioned jnp
+    two-float band.
     """
     mesh = mesh or Mesh(np.array(jax.devices()), (axis_name,))
     n_dev = int(np.prod(mesh.devices.shape))
     C = len(idx.chain_lengths)
     pad = int(math.ceil(max(C, 1) / n_dev)) * n_dev
     aux = build_chain_arrow(problem, idx, num_chains_pad=pad)
+    aux = dataclasses.replace(aux, shard_mesh=mesh, shard_axis=axis_name)
     aux = shard_chain_structure(aux, mesh, axis_name)
     replicated = NamedSharding(mesh, P())
     problem = dataclasses.replace(

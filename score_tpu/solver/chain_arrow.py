@@ -144,6 +144,19 @@ class ChainArrowStructure:
     NLC: int = dataclasses.field(metadata=dict(static=True))
     ds: int = dataclasses.field(metadata=dict(static=True))
     relaxation: str = dataclasses.field(metadata=dict(static=True))
+    # intra-problem sharding (parallel/intra.py): when set, the fused
+    # Pallas band entries are wrapped in `jax.shard_map` over this mesh
+    # axis — GSPMD cannot partition a gridless pallas_call, so each
+    # device factors/solves its local chain slice with the same kernels
+    # and the chain-axis layout stays sharded end to end. Mesh objects
+    # are hashable, so these compose with jit caching like the int
+    # statics above.
+    shard_mesh: object = dataclasses.field(
+        default=None, metadata=dict(static=True)
+    )
+    shard_axis: str = dataclasses.field(
+        default=None, metadata=dict(static=True)
+    )
 
 
 def _greedy_cover(edges, excluded):
@@ -507,6 +520,40 @@ def _use_pallas_pcr() -> bool:
     if flag == "1":
         return True
     return jax.default_backend() == "tpu"
+
+
+def _shmap_ppcr_factor(st, D: TF, U: TF) -> PPCRFactors:
+    """Chain-sharded Pallas band factorization: each device runs the
+    gridless kernels on its local (C/n_dev)-chain slice. Factor outputs
+    are lane-major (L*Db, Db, C*T) with chain-contiguous lanes, so the
+    lane axis is sharded on the same mesh axis; the matching solve
+    wrapper consumes them without any resharding."""
+    from jax.sharding import PartitionSpec as P
+
+    spec_c = P(st.shard_axis)
+    spec_l = P(None, None, st.shard_axis)
+    return jax.shard_map(
+        lambda d, u: ppcr_factor_pallas(d, u),
+        mesh=st.shard_mesh,
+        in_specs=(spec_c, spec_c),
+        out_specs=PPCRFactors(E=spec_l, F=spec_l, invD=spec_l),
+        # pallas_call out_shapes carry no vma info on this jax version
+        check_vma=False,
+    )(D, U)
+
+
+def _shmap_ppcr_solve(st, factors: PPCRFactors, rhs: TF) -> TF:
+    from jax.sharding import PartitionSpec as P
+
+    spec_c = P(st.shard_axis)
+    spec_l = P(None, None, st.shard_axis)
+    return jax.shard_map(
+        lambda f, r: ppcr_solve_pallas(f, r),
+        mesh=st.shard_mesh,
+        in_specs=(PPCRFactors(E=spec_l, F=spec_l, invD=spec_l), spec_c),
+        out_specs=spec_c,
+        check_vma=False,
+    )(factors, rhs)
 
 
 def _tri(L, b):
@@ -944,18 +991,40 @@ class ChainArrowBackend:
         seg = None if pallas_fits else seg_lengths(Tp, D)
         on_tpu = jax.default_backend() == "tpu"
         if use_tf and _use_pallas_pcr() and pallas_fits:
-            pcrf = ppcr_factor_pallas(tfm.from_f64(Dp), tfm.from_f64(Up))
-            Z = tfm.to_f64(
-                ppcr_solve_pallas(pcrf, tfm.from_f64(Bp))
-            ).astype(dtype)
-        elif use_tf and _use_pallas_pcr() and seg is not None:
+            if st.shard_mesh is not None:
+                pcrf = _shmap_ppcr_factor(
+                    st, tfm.from_f64(Dp), tfm.from_f64(Up)
+                )
+                Z = tfm.to_f64(
+                    _shmap_ppcr_solve(st, pcrf, tfm.from_f64(Bp))
+                ).astype(dtype)
+            else:
+                pcrf = ppcr_factor_pallas(
+                    tfm.from_f64(Dp), tfm.from_f64(Up)
+                )
+                Z = tfm.to_f64(
+                    ppcr_solve_pallas(pcrf, tfm.from_f64(Bp))
+                ).astype(dtype)
+        elif (
+            use_tf
+            and _use_pallas_pcr()
+            and seg is not None
+            and st.shard_mesh is None
+            # the segmented band mixes pallas calls with jnp interface
+            # work and has no shard_map wrapper; sharded long-chain 3D
+            # problems take the (GSPMD-partitionable) jnp two-float path
+        ):
             pcrf = seg_factor_pallas(
                 tfm.from_f64(Dp), tfm.from_f64(Up), seg[0]
             )
             Z = tfm.to_f64(
                 seg_solve_pallas(pcrf, tfm.from_f64(Bp))
             ).astype(dtype)
-        elif use_tf and not on_tpu:
+        elif use_tf and (not on_tpu or st.shard_mesh is not None):
+            # jnp two-float band: the CPU/tests path, and the sharded
+            # fallback for shapes the wrapped Pallas kernels can't take
+            # (it is plain jnp, so GSPMD partitions it over the chain
+            # axis; inside the one solve jit it is not dispatch-bound)
             pcrf = jax.vmap(pcr_factor_tf)(tfm.from_f64(Dp), tfm.from_f64(Up))
             Z = tfm.to_f64(
                 jax.vmap(pcr_solve_tf)(pcrf, tfm.from_f64(Bp))
@@ -1033,9 +1102,14 @@ class ChainArrowBackend:
                 seg_solve_pallas(factors.pcr, tfm.from_f64(rp))
             ).astype(dtype)[..., 0]
         elif isinstance(factors.pcr, PPCRFactors):
-            w = tfm.to_f64(
-                ppcr_solve_pallas(factors.pcr, tfm.from_f64(rp))
-            ).astype(dtype)[..., 0]
+            if st.shard_mesh is not None:
+                w = tfm.to_f64(
+                    _shmap_ppcr_solve(st, factors.pcr, tfm.from_f64(rp))
+                ).astype(dtype)[..., 0]
+            else:
+                w = tfm.to_f64(
+                    ppcr_solve_pallas(factors.pcr, tfm.from_f64(rp))
+                ).astype(dtype)[..., 0]
         elif isinstance(factors.pcr.L_odd, TF):
             w = tfm.to_f64(
                 jax.vmap(pcr_solve_tf)(factors.pcr, tfm.from_f64(rp))

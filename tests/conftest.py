@@ -38,6 +38,27 @@ assert len(jax.devices()) == 8, "expected the virtual 8-device CPU mesh"
 
 import pytest  # noqa: E402
 
+# Fast modules (no GOATS-scale IPM compiles): `pytest -m smoke` runs in a
+# few minutes and keeps the habit alive between the ~45-min full runs.
+_SMOKE_MODULES = {
+    "test_dd",
+    "test_twofloat",
+    "test_cones",
+    "test_circles",
+    "test_utils",
+    "test_fg_io",
+    "test_native",
+    "test_pallas_blocks",
+    "test_pcr_tf",
+    "test_assembly",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        if item.module.__name__ in _SMOKE_MODULES:
+            item.add_marker(pytest.mark.smoke)
+
 
 @pytest.fixture(autouse=True, scope="module")
 def _release_compiled_executables():

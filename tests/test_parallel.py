@@ -133,6 +133,103 @@ class TestIntraProblemSharding:
             float(r_single.pobj), rel=1e-6, abs=1e-8
         )
 
+    def test_shmap_pallas_band_parity(self):
+        """The shard_map-wrapped fused Pallas band (interpret mode on the
+        CPU mesh) must reproduce the unsharded kernels EXACTLY: each
+        device runs the same gridless kernels on its local chain slice
+        and no arithmetic crosses chain boundaries."""
+        from types import SimpleNamespace
+
+        import jax
+        import jax.numpy as jnp
+        from jax.sharding import Mesh
+
+        from score_tpu.ops import twofloat as tfm
+        from score_tpu.ops.pallas_pcr import (
+            ppcr_factor_pallas,
+            ppcr_solve_pallas,
+        )
+        from score_tpu.solver.chain_arrow import (
+            _shmap_ppcr_factor,
+            _shmap_ppcr_solve,
+        )
+
+        C, T, D = 8, 8, 6
+        rng = np.random.default_rng(0)
+        Dg = rng.normal(size=(C, T, D, D))
+        Dg = Dg @ Dg.transpose(0, 1, 3, 2) + 10.0 * np.eye(D)
+        Ug = 0.3 * rng.normal(size=(C, T, D, D))
+        Ug[:, -1] = 0.0
+        B = rng.normal(size=(C, T, D, 3))
+        Dj, Uj, Bj = jnp.asarray(Dg), jnp.asarray(Ug), jnp.asarray(B)
+
+        mesh = Mesh(np.array(jax.devices()), ("chains",))
+        st = SimpleNamespace(shard_mesh=mesh, shard_axis="chains")
+
+        @jax.jit
+        def plain(Dj, Uj, Bj):
+            f = ppcr_factor_pallas(tfm.from_f64(Dj), tfm.from_f64(Uj))
+            return tfm.to_f64(ppcr_solve_pallas(f, tfm.from_f64(Bj)))
+
+        @jax.jit
+        def sharded(Dj, Uj, Bj):
+            f = _shmap_ppcr_factor(st, tfm.from_f64(Dj), tfm.from_f64(Uj))
+            return tfm.to_f64(_shmap_ppcr_solve(st, f, tfm.from_f64(Bj)))
+
+        zp = np.asarray(plain(Dj, Uj, Bj))
+        zs = np.asarray(sharded(Dj, Uj, Bj))
+        np.testing.assert_array_equal(zp, zs)
+
+    def test_mixed_chain_sharded_matches_single(self):
+        """Full sharded solve through MixedChainArrowBackend on the CPU
+        mesh: the band takes the GSPMD-partitioned jnp two-float path
+        (the shard_map'd Pallas kernels are exercised at parity level
+        above — a full interpret-mode IPM is f32-degraded by XLA:CPU's
+        FMA contraction and cannot hit f64-grade tolerances)."""
+        import jax
+        from jax.sharding import Mesh
+
+        from score_tpu.assembly.conic import SOCP_RELAXATION, build_conic_problem
+        from score_tpu.parallel.intra import solve_conic_chain_sharded
+        from score_tpu.sim.manhattan import (
+            ManhattanWorldParams,
+            simulate_manhattan_world,
+        )
+        from score_tpu.solver.chain_arrow import (
+            MixedChainArrowBackend,
+            build_chain_arrow,
+        )
+        from score_tpu.solver.ipm import IPMParams, SOLVED_STATUSES, solve_conic
+
+        fg = simulate_manhattan_world(
+            ManhattanWorldParams(
+                num_robots=8,
+                num_poses_per_robot=8,
+                num_landmarks=3,
+                grid_size=8,
+                range_measure_prob=0.35,
+                inter_robot_measure_prob=0.1,
+                inter_robot_sensing_radius=10.0,
+                seed=5,
+            )
+        )
+        problem, idx = build_conic_problem(fg, SOCP_RELAXATION)
+        params = IPMParams(max_iter=30)
+
+        mesh = Mesh(np.array(jax.devices()), ("chains",))
+        r_sharded = solve_conic_chain_sharded(
+            problem, idx, mesh, params, backend=MixedChainArrowBackend
+        )
+        r_single = solve_conic(
+            problem, params,
+            backend=MixedChainArrowBackend,
+            backend_aux=build_chain_arrow(problem, idx),
+        )
+        assert int(r_sharded.status) in SOLVED_STATUSES
+        assert float(r_sharded.pobj) == pytest.approx(
+            float(r_single.pobj), rel=1e-6, abs=1e-8
+        )
+
     def test_chain_padding_is_neutral(self):
         # padding the chain axis (inactive identity chains) must not
         # change the solution at all
