@@ -149,10 +149,31 @@ def variable_values_from_x(
     landmarks = {
         name: xnp[idx.landmark_cols(i)] for i, name in enumerate(idx.landmark_names)
     }
+    # distance slots are contiguous (offset + m * dist_size): one strided
+    # view instead of num_ranges indexed gathers
     distances: Dict[Tuple[str, str], np.ndarray] = {}
-    for m, key in enumerate(idx.dist_keys):
-        distances[tuple(key)] = xnp[idx.dist_cols(m)].copy()
+    if idx.dist_keys:
+        nr = len(idx.dist_keys)
+        dvals = (
+            xnp[idx.distance_offset : idx.distance_offset + nr * idx.dist_size]
+            .reshape(nr, idx.dist_size)
+            .copy()
+        )
+        distances = {
+            tuple(key): dvals[m] for m, key in enumerate(idx.dist_keys)
+        }
     return VariableValues(dim=d, poses=poses, landmarks=landmarks, distances=distances)
+
+
+@_jax.jit
+def _pack_scalars(iters, status, pobj, gap, pres, dres):
+    # one device buffer for all the telemetry scalars: each separate
+    # float() would be its own host roundtrip through the axon tunnel
+    f = jnp.float64
+    return jnp.stack(
+        [iters.astype(f), status.astype(f), pobj.astype(f),
+         gap.astype(f), pres.astype(f), dres.astype(f)]
+    )
 
 
 def extract_solver_results(
@@ -166,17 +187,24 @@ def extract_solver_results(
     # pass the device array through: variable_values_from_x runs the
     # batched SVD rounding device-side and fetches once
     values = variable_values_from_x(result.x, idx)
+    iters, status, pobj, gap, pres, dres = np.asarray(
+        _pack_scalars(
+            jnp.asarray(result.iterations), jnp.asarray(result.status),
+            jnp.asarray(result.pobj), jnp.asarray(result.gap),
+            jnp.asarray(result.pres), jnp.asarray(result.dres),
+        )
+    )
     return SolverResults(
         variables=values,
         total_time=total_time,
-        solved=bool(int(result.status) in SOLVED_STATUSES),
+        solved=bool(int(status) in SOLVED_STATUSES),
         pose_chain_names=data.get_pose_chain_names(),
-        iterations=int(result.iterations),
-        primal_objective=float(result.pobj),
-        dual_objective=float(result.pobj) - float(result.gap),
-        gap=float(result.gap),
-        primal_residual=float(result.pres),
-        dual_residual=float(result.dres),
+        iterations=int(iters),
+        primal_objective=float(pobj),
+        dual_objective=float(pobj) - float(gap),
+        gap=float(gap),
+        primal_residual=float(pres),
+        dual_residual=float(dres),
         relaxation=relaxation,
     )
 

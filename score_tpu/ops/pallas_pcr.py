@@ -362,6 +362,10 @@ def _chunk_group(C: int, T: int, Db: int) -> int:
     group = min(g2, c2)
     if T * group < 128:  # alignment floor: one 128-lane call minimum
         group = 128 // T
+        # the alignment bump happens after the budget clamp: unreachable
+        # for the block sizes in use (Db <= 12 -> Db*Db*128 well under
+        # the lane budget), but guard against a future Db >= 17
+        assert Db * Db * group * T <= _LANE_ELEMS_MAX, (Db, T, group)
     return group
 
 
