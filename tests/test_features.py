@@ -213,3 +213,59 @@ class TestAPISurface:
         assert last.primal_objective == pytest.approx(
             ref.primal_objective, rel=0, abs=0
         )
+
+
+class TestAssemblyCache:
+    """solve_score memoizes normalize/assembly/structure per factor graph
+    (api._prepare_assembly): repeated solves must return identical
+    results, and mutating the data must bust the cache."""
+
+    def test_repeat_solve_identical_and_cached(self, rng):
+        from score_tpu import api
+
+        fg = small_graph(rng, loop=False)
+        params = ScoreSolverParams(max_iter=30)
+        r1 = solve_score(fg, SOCP_RELAXATION, params)
+        assert id(fg) in api._ASSEMBLY_CACHE
+        r2 = solve_score(fg, SOCP_RELAXATION, params)
+        assert r1.solved and r2.solved
+        assert r2.primal_objective == pytest.approx(
+            r1.primal_objective, rel=0, abs=0
+        )
+        for name, T in r1.poses.items():
+            np.testing.assert_array_equal(np.asarray(r2.poses[name]), T)
+
+    def test_mutation_busts_fingerprint(self, rng):
+        from score_tpu import api
+
+        fg = small_graph(rng, loop=False)
+        params = ScoreSolverParams(max_iter=30)
+        r1 = solve_score(fg, SOCP_RELAXATION, params)
+        # in-place measurement mutation -> different fingerprint -> rebuild
+        fg.range_measurements[0].dist *= 1.5
+        r2 = solve_score(fg, SOCP_RELAXATION, params)
+        assert r1.solved and r2.solved
+        assert r2.primal_objective != pytest.approx(
+            r1.primal_objective, rel=1e-12
+        )
+
+
+class TestRefinementGate:
+    def test_gated_refinement_matches_ungated(self, rng):
+        """The gate (IPMParams.dir_refine_gate) skips refinement solves
+        until near convergence; the final accuracy must match always-on
+        refinement (the gate only skips where refinement is inert)."""
+        fg = small_graph(rng, loop=False)
+        problem, _ = build_conic_problem(fg, SOCP_RELAXATION)
+        r_gated = solve_conic(problem, IPMParams(max_iter=40))
+        r_always = solve_conic(
+            problem, IPMParams(max_iter=40, dir_refine_gate=0.0)
+        )
+        assert int(r_gated.status) in SOLVED_STATUSES
+        assert int(r_always.status) in SOLVED_STATUSES
+        assert float(r_gated.pobj) == pytest.approx(
+            float(r_always.pobj), rel=1e-8, abs=1e-10
+        )
+        g_g = float(r_gated.gap) / max(1.0, abs(float(r_gated.pobj)))
+        g_a = float(r_always.gap) / max(1.0, abs(float(r_always.pobj)))
+        assert g_g < 1e-6 and g_a < 1e-6
