@@ -30,6 +30,7 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from score_tpu.assembly.conic import ConicProblem
+from score_tpu.solver import ipm as _ipm
 from score_tpu.solver.ipm import IPMParams, IPMResult, solve_conic_fixed
 
 __all__ = [
@@ -80,13 +81,72 @@ def _batch_solve(batched_problem, backend_aux, params, backend):
     backend) — a per-call ``jax.jit(jax.vmap(lambda ...))`` would retrace
     and relower the (large, two-float) graph on EVERY call, which
     dominated wall-clock (measured: ~145 s of relowering per 'warm'
-    100-trial batch on TPU before this was hoisted)."""
-    return jax.vmap(
-        lambda pb: solve_conic_fixed(
-            pb, params, num_iters=params.max_iter,
-            backend=backend, backend_aux=backend_aux,
+    100-trial batch on TPU before this was hoisted).
+
+    The iteration loop lives OUTSIDE the vmap (a batch-level
+    `lax.while_loop` over the vmapped step), which buys two things a
+    plain ``vmap(solve_conic_fixed)`` cannot:
+
+    - **early exit at the slowest lane**: the loop stops as soon as every
+      lane is terminal instead of running the full ``max_iter`` budget;
+    - **batch-level shared gates**: the endgame-only solves (direction
+      refinement, centering recovery) are wrapped in `lax.cond`s whose
+      predicates are computed ACROSS the batch between the bookkeeping
+      and step halves of the iteration (``any lane near convergence``,
+      ``any lane stalled``). An unbatched predicate keeps the cond a real
+      cond under vmap, so the whole batch skips those solves during the
+      (far-from-converged) early iterations; per-lane selects inside
+      preserve exact per-lane semantics once the gate opens.
+    """
+    if batched_problem.num_cones == 0:
+        return jax.vmap(
+            lambda pb: solve_conic_fixed(
+                pb, params, num_iters=params.max_iter,
+                backend=backend, backend_aux=backend_aux,
+            )
+        )(batched_problem)
+
+    def prep_one(pb):
+        so = backend.prepare(pb, backend_aux)
+        st0 = _ipm._make_initial_state(backend, pb, so, params)
+        return so, st0
+
+    so_b, st_b = jax.vmap(prep_one)(batched_problem)
+
+    book = jax.vmap(
+        lambda pb, so, s: _ipm._advance_book(backend, pb, so, params, s)
+    )
+
+    def apply_step(shared_refine, shared_center):
+        return jax.vmap(
+            lambda pb, so, s, t, rx, rz: _ipm._advance_apply(
+                backend, pb, so, params, s, t, rx, rz,
+                shared_refine=shared_refine, shared_center=shared_center,
+            )
         )
-    )(batched_problem)
+
+    gate_refine = params.dir_refine_gate > 0.0 and params.dir_refine_steps > 0
+
+    def body(carry):
+        i, st = carry
+        st, terminal, rx, rz = book(batched_problem, so_b, st)
+        live = ~terminal
+        near = jnp.any((st.best_metric < params.dir_refine_gate) & live)
+        shared_refine = near if gate_refine else None
+        shared_center = near | jnp.any((st.stall > 0) & live)
+        st = apply_step(shared_refine, shared_center)(
+            batched_problem, so_b, st, terminal, rx, rz
+        )
+        return i + 1, st
+
+    def cond(carry):
+        i, st = carry
+        return (i < params.max_iter) & jnp.any(st.status == _ipm.RUNNING)
+
+    _, st_b = jax.lax.while_loop(cond, body, (jnp.asarray(0), st_b))
+    return jax.vmap(
+        lambda pb, so, s: _ipm._finalize(backend, pb, so, params, s)
+    )(batched_problem, so_b, st_b)
 
 
 def solve_conic_batch(

@@ -88,8 +88,10 @@ def solve_conic_chain_sharded(
     axis (GSPMD cannot partition a gridless pallas_call): each device
     runs the same kernels on its local chain slice, factors stay
     lane-sharded, and the only collectives remain the two arrow-Schur
-    psums GSPMD already inserts. Shapes the wrapped kernels cannot take
-    (segmented 3D bands) fall back to the GSPMD-partitioned jnp
+    psums GSPMD already inserts. Long-chain 3D problems route through
+    the shard_map-wrapped SEGMENTED band (SPIKE substructuring is
+    chain-local, so it shards the same way); only shapes with no
+    supported segmentation fall back to the GSPMD-partitioned jnp
     two-float band.
     """
     mesh = mesh or Mesh(np.array(jax.devices()), (axis_name,))

@@ -556,6 +556,48 @@ def _shmap_ppcr_solve(st, factors: PPCRFactors, rhs: TF) -> TF:
     )(factors, rhs)
 
 
+def _seg_specs(st):
+    """(in/out) PartitionSpec prefix trees for SegPPCRFactors: every
+    component of a segmented factorization is chain-local — interior
+    factors are lane-major with chain-contiguous lanes (axis 2), the
+    Z panels / interface chain / coupling blocks carry a leading chain
+    axis — so all of it shards on the structure's chain mesh axis."""
+    from jax.sharding import PartitionSpec as P
+
+    spec_c = P(st.shard_axis)
+    spec_l = P(None, None, st.shard_axis)
+    return spec_c, SegPPCRFactors(
+        interior=PPCRFactors(E=spec_l, F=spec_l, invD=spec_l),
+        ZL=spec_c, ZR=spec_c, iface=spec_c, UgL=spec_c, UmR=spec_c,
+    )
+
+
+def _shmap_seg_factor(st, D: TF, U: TF, Ts: int) -> SegPPCRFactors:
+    """Chain-sharded SEGMENTED band factorization (3D long chains): the
+    SPIKE-style substructuring of ops/pallas_pcr.py is per-chain, so each
+    device factors its local chain slice (interior kernels + its own
+    interface chains) with zero collectives."""
+    spec_c, spec_f = _seg_specs(st)
+    return jax.shard_map(
+        lambda d, u: seg_factor_pallas(d, u, Ts),
+        mesh=st.shard_mesh,
+        in_specs=(spec_c, spec_c),
+        out_specs=spec_f,
+        check_vma=False,
+    )(D, U)
+
+
+def _shmap_seg_solve(st, factors: SegPPCRFactors, rhs: TF) -> TF:
+    spec_c, spec_f = _seg_specs(st)
+    return jax.shard_map(
+        seg_solve_pallas,
+        mesh=st.shard_mesh,
+        in_specs=(spec_f, spec_c),
+        out_specs=spec_c,
+        check_vma=False,
+    )(factors, rhs)
+
+
 def _tri(L, b):
     return jax.scipy.linalg.solve_triangular(L, b, lower=True)
 
@@ -1005,21 +1047,21 @@ class ChainArrowBackend:
                 Z = tfm.to_f64(
                     ppcr_solve_pallas(pcrf, tfm.from_f64(Bp))
                 ).astype(dtype)
-        elif (
-            use_tf
-            and _use_pallas_pcr()
-            and seg is not None
-            and st.shard_mesh is None
-            # the segmented band mixes pallas calls with jnp interface
-            # work and has no shard_map wrapper; sharded long-chain 3D
-            # problems take the (GSPMD-partitionable) jnp two-float path
-        ):
-            pcrf = seg_factor_pallas(
-                tfm.from_f64(Dp), tfm.from_f64(Up), seg[0]
-            )
-            Z = tfm.to_f64(
-                seg_solve_pallas(pcrf, tfm.from_f64(Bp))
-            ).astype(dtype)
+        elif use_tf and _use_pallas_pcr() and seg is not None:
+            if st.shard_mesh is not None:
+                pcrf = _shmap_seg_factor(
+                    st, tfm.from_f64(Dp), tfm.from_f64(Up), seg[0]
+                )
+                Z = tfm.to_f64(
+                    _shmap_seg_solve(st, pcrf, tfm.from_f64(Bp))
+                ).astype(dtype)
+            else:
+                pcrf = seg_factor_pallas(
+                    tfm.from_f64(Dp), tfm.from_f64(Up), seg[0]
+                )
+                Z = tfm.to_f64(
+                    seg_solve_pallas(pcrf, tfm.from_f64(Bp))
+                ).astype(dtype)
         elif use_tf and (not on_tpu or st.shard_mesh is not None):
             # jnp two-float band: the CPU/tests path, and the sharded
             # fallback for shapes the wrapped Pallas kernels can't take
@@ -1098,9 +1140,14 @@ class ChainArrowBackend:
         Tp = factors.B.shape[1]
         rp = jnp.zeros((C, Tp, D, 1), dtype=dtype).at[:, :T].set(rc[..., None])
         if isinstance(factors.pcr, SegPPCRFactors):
-            w = tfm.to_f64(
-                seg_solve_pallas(factors.pcr, tfm.from_f64(rp))
-            ).astype(dtype)[..., 0]
+            if st.shard_mesh is not None:
+                w = tfm.to_f64(
+                    _shmap_seg_solve(st, factors.pcr, tfm.from_f64(rp))
+                ).astype(dtype)[..., 0]
+            else:
+                w = tfm.to_f64(
+                    seg_solve_pallas(factors.pcr, tfm.from_f64(rp))
+                ).astype(dtype)[..., 0]
         elif isinstance(factors.pcr, PPCRFactors):
             if st.shard_mesh is not None:
                 w = tfm.to_f64(

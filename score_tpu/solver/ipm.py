@@ -262,6 +262,18 @@ def _advance(backend, problem, state_ops, params, st: _State) -> _State:
     tracking), then a Mehrotra step unless terminal. The residuals computed
     for the convergence check are reused by the step (the operator
     applications are a meaningful share of structured-backend time)."""
+    st, terminal, rx, rz = _advance_book(backend, problem, state_ops,
+                                         params, st)
+    return _advance_apply(backend, problem, state_ops, params, st,
+                          terminal, rx, rz)
+
+
+def _advance_book(backend, problem, state_ops, params, st: _State):
+    """Bookkeeping half of :func:`_advance`: convergence/infeasibility
+    tests, best-iterate + stall tracking, status update. Returns the
+    updated state, the terminal flag, and the (rx, rz) residuals for the
+    step. Split out so the batch driver (parallel/batch.py) can compute
+    batch-level shared gates BETWEEN bookkeeping and the step."""
     ok, bad, pres, dres, gap, pq, rx, rz, Px, Gtz, Gx = _convergence_full(
         backend, problem, state_ops, params, st.x, st.s, st.z
     )
@@ -313,9 +325,23 @@ def _advance(backend, problem, state_ops, params, st: _State) -> _State:
         status=status, best_x=best_x, best_s=best_s, best_z=best_z,
         best_metric=best_metric, stall=stall,
     )
+    return st, terminal, rx, rz
+
+
+def _advance_apply(backend, problem, state_ops, params, st: _State,
+                   terminal, rx, rz, shared_refine=None,
+                   shared_center=None) -> _State:
+    """Step half of :func:`_advance`. ``shared_refine``/``shared_center``
+    are optional UNBATCHED scalar gates supplied by the batch driver: under
+    vmap, a `lax.cond` whose predicate is unbatched stays a real cond (the
+    branch jaxpr is batched, not converted to a select), so all lanes skip
+    the gated solves together while the per-lane `where` inside preserves
+    exact per-lane semantics (a lane is refined iff ITS gate is open, and
+    lane-open implies batch-open)."""
     if params.branchless:
         stepped = _step(backend, problem, state_ops, params, st,
-                        residuals=(rx, rz))
+                        residuals=(rx, rz), shared_refine=shared_refine,
+                        shared_center=shared_center)
         return jax.tree_util.tree_map(
             lambda old, new: jnp.where(terminal, old, new), st, stepped
         )
@@ -329,7 +355,8 @@ def _advance(backend, problem, state_ops, params, st: _State) -> _State:
 
 
 def _step(backend, problem: ConicProblem, state_ops, params: IPMParams,
-          st: _State, residuals=None) -> _State:
+          st: _State, residuals=None, shared_refine=None,
+          shared_center=None) -> _State:
     x, s, z = st.x, st.s, st.z
     N = problem.num_cones
     dtype = x.dtype
@@ -419,12 +446,25 @@ def _step(backend, problem: ConicProblem, state_ops, params: IPMParams,
         # refinement only matters near convergence (see IPMParams.
         # dir_refine_gate); skip its solves while the iterate is far
         near = st.best_metric < params.dir_refine_gate
-        if params.branchless:
-            rdx, rds, rdz = refined((dx, ds, dz))
+
+        def refined_masked(dirs):
+            rdx, rds, rdz = refined(dirs)
+            dx_, ds_, dz_ = dirs
             return (
-                jnp.where(near, rdx, dx),
-                jnp.where(near, rds, ds),
-                jnp.where(near, rdz, dz),
+                jnp.where(near, rdx, dx_),
+                jnp.where(near, rds, ds_),
+                jnp.where(near, rdz, dz_),
+            )
+
+        if params.branchless:
+            if shared_refine is None:
+                return refined_masked((dx, ds, dz))
+            # batch mode: skip the refinement solves for the WHOLE batch
+            # while no lane is near (the unbatched predicate keeps this a
+            # real cond under vmap); per-lane `near` still selects inside.
+            return jax.lax.cond(
+                shared_refine, refined_masked, lambda dirs: dirs,
+                (dx, ds, dz),
             )
         return jax.lax.cond(near, refined, lambda dirs: dirs, (dx, ds, dz))
 
@@ -554,7 +594,27 @@ def _step(backend, problem: ConicProblem, state_ops, params: IPMParams,
 
     alpha_pre = alpha
     if params.branchless:
-        cdx, cds, cdz, calpha = centering_step(None)
+        if shared_center is None:
+            cdx, cds, cdz, calpha = centering_step(None)
+        else:
+            # batch mode: the centering-recovery solve only matters when a
+            # lane's Mehrotra direction is roundoff-dominated (frac == 0),
+            # an endgame event. Skip the solve for the whole batch until
+            # the driver's shared gate (any lane near convergence OR any
+            # lane stalled) opens. A lane that hits frac == 0 while the
+            # gate is closed takes a frozen step (alpha = 0) — identical
+            # to selecting the zero direction below — and its stall
+            # counter opens the gate on the next trip.
+            zero_dirs = (
+                jnp.zeros_like(dx), jnp.zeros_like(ds),
+                jnp.zeros_like(dz), jnp.zeros_like(alpha),
+            )
+            cdx, cds, cdz, calpha = jax.lax.cond(
+                shared_center,
+                lambda _: centering_step(None),
+                lambda _: zero_dirs,
+                None,
+            )
         use_c = frac == 0.0
         dx = jnp.where(use_c, cdx, dx)
         ds = jnp.where(use_c, cds, ds)
