@@ -111,10 +111,17 @@ def _batch_solve(batched_problem, backend_aux, params, backend):
         st0 = _ipm._make_initial_state(backend, pb, so, params)
         return so, st0
 
-    so_b, st_b = jax.vmap(prep_one)(batched_problem)
+    # Backends declare which state leaves actually carry the batch
+    # (ChainArrowBackend keeps its shared `structure` UNBATCHED — the
+    # layout one-hots are trial-invariant, and broadcasting them to a
+    # leading trial axis would fatten every structure-side einsum
+    # operand by the trial count).
+    so_axes = getattr(backend, "state_batch_axes", 0)
+    so_b, st_b = jax.vmap(prep_one, out_axes=(so_axes, 0))(batched_problem)
 
     book = jax.vmap(
-        lambda pb, so, s: _ipm._advance_book(backend, pb, so, params, s)
+        lambda pb, so, s: _ipm._advance_book(backend, pb, so, params, s),
+        in_axes=(0, so_axes, 0),
     )
 
     def apply_step(shared_refine, shared_center):
@@ -122,7 +129,8 @@ def _batch_solve(batched_problem, backend_aux, params, backend):
             lambda pb, so, s, t, rx, rz: _ipm._advance_apply(
                 backend, pb, so, params, s, t, rx, rz,
                 shared_refine=shared_refine, shared_center=shared_center,
-            )
+            ),
+            in_axes=(0, so_axes, 0, 0, 0, 0),
         )
 
     gate_refine = params.dir_refine_gate > 0.0 and params.dir_refine_steps > 0
@@ -145,7 +153,8 @@ def _batch_solve(batched_problem, backend_aux, params, backend):
 
     _, st_b = jax.lax.while_loop(cond, body, (jnp.asarray(0), st_b))
     return jax.vmap(
-        lambda pb, so, s: _ipm._finalize(backend, pb, so, params, s)
+        lambda pb, so, s: _ipm._finalize(backend, pb, so, params, s),
+        in_axes=(0, so_axes, 0),
     )(batched_problem, so_b, st_b)
 
 

@@ -1,0 +1,149 @@
+"""Device-accurate per-phase microbench (GOATS mixed path).
+
+The axon tunnel imposes ~30 ms per individually-timed dispatch, so each
+phase here is run REPS times inside one jitted lax.scan (carry-dependent
+so XLA cannot hoist it) and the per-call time is (wall - base)/REPS.
+Phases:
+
+  factor    full MixedChainArrowBackend.factor (assembly + band factor)
+  assemble  _assemble only (W-dependent KKT block build, f64 einsums)
+  band      _factor_band only (two-float Pallas PCR + arrow Schur)
+  solve     one condensed band solve (_solve_once)
+  ops       one P/G/G' residual operator set
+
+Prints one JSON line per phase.
+"""
+import fcntl
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    import os
+
+    import jax
+    import jax.numpy as jnp
+
+    if os.environ.get("MB_ALLOW_CPU") != "1":
+        assert jax.default_backend() == "tpu", jax.default_backend()
+
+    from score_tpu.assembly.conic import build_conic_problem
+    from score_tpu.assembly.normalize import normalize_factor_graph
+    from score_tpu.datasets import goats_pickle_path
+    from score_tpu.fg import parse_pickle_file
+    from score_tpu.solver.chain_arrow import (
+        ChainArrowBackend,
+        MixedChainArrowBackend,
+        build_chain_arrow,
+    )
+    from score_tpu.solver.ipm import IPMParams
+
+    fg = parse_pickle_file(goats_pickle_path())
+    fg, _ = normalize_factor_graph(fg)
+    problem, idx = build_conic_problem(fg, "SOCP")
+    aux = build_chain_arrow(problem, idx)
+    params = IPMParams()
+    be = MixedChainArrowBackend
+    state = be.prepare(problem, aux)
+    N, k = problem.num_cones, problem.k
+    rng = np.random.default_rng(0)
+    # realistic non-identity NT scalings
+    w = jnp.asarray(1.0 + 0.5 * rng.random((N, 1, 1)))
+    Winv2 = jnp.broadcast_to(jnp.eye(k), (N, k, k)) * w
+    rhs = jnp.asarray(rng.standard_normal(problem.n)) * state.mask
+
+    REPS = 30
+
+    def timed(name, fn, *args):
+        jfn = jax.jit(fn)
+        out = jfn(*args)  # compile
+        s = float(np.asarray(jax.tree_util.tree_leaves(out)[0]).ravel()[0])
+        with open("/tmp/tpu_measure.lock", "w") as lk:
+            fcntl.flock(lk, fcntl.LOCK_EX)
+            best = np.inf
+            for _ in range(3):
+                t0 = time.perf_counter()
+                out = jfn(*args)
+                s = float(
+                    np.asarray(jax.tree_util.tree_leaves(out)[0]).ravel()[0]
+                )
+                best = min(best, time.perf_counter() - t0)
+        print(
+            json.dumps(
+                {"phase": name, "total_ms": round(best * 1e3, 2),
+                 "per_call_ms": round(best * 1e3 / REPS, 3), "sink": s}
+            ),
+            flush=True,
+        )
+
+    def scan_over(body):
+        # carry a perturbation so every trip depends on the last
+        def wrapped(W0):
+            def step(c, _):
+                out = body(W0 * (1.0 + 1e-12 * c))
+                leaves = jax.tree_util.tree_leaves(out)
+                # consume EVERY element so XLA cannot slice/DCE any of
+                # the phase's work out of the loop
+                s = sum(jnp.sum(jnp.abs(l.astype(jnp.float64)))
+                        for l in leaves)
+                return 1e-15 * s, None
+            c, _ = jax.lax.scan(step, jnp.asarray(0.0, jnp.float64),
+                                None, length=REPS)
+            return c
+        return wrapped
+
+    # baseline: empty scan of same length (loop overhead)
+    def empty(W0):
+        def step(c, _):
+            return c * 1.0000001, None
+        c, _ = jax.lax.scan(step, jnp.asarray(0.0, jnp.float64), None,
+                            length=REPS)
+        return c
+
+    timed("empty", empty, Winv2)
+
+    timed("factor", scan_over(lambda W: be.factor(problem, state, W, params)),
+          Winv2)
+    timed(
+        "assemble",
+        scan_over(lambda W: ChainArrowBackend._assemble(
+            problem, state, W, params)[:4]),
+        Winv2,
+    )
+
+    st = state.structure
+    Dg, Ug, Bg, Sg, kdd, wv, Hhat, delta = ChainArrowBackend._assemble(
+        problem, state, Winv2, params
+    )
+
+    def band_only(W):
+        # W-dependent scale keeps the scan honest without re-assembling
+        sc = 1.0 + 1e-12 * jnp.sum(W[..., :1, :1])
+        return be._factor_band(st, Dg * sc, Ug, Bg, Sg, delta, params,
+                               use_tf=True)[2]
+
+    timed("band", scan_over(band_only), Winv2)
+
+    factors = be.factor(problem, state, Winv2, params)
+
+    def solve_only(W):
+        sc = 1.0 + 1e-12 * jnp.sum(W[..., :1, :1])
+        return be._solve_once(problem, state, factors, rhs * sc)
+
+    timed("solve", scan_over(solve_only), Winv2)
+
+    def ops_only(W):
+        sc = 1.0 + 1e-12 * jnp.sum(W[..., :1, :1])
+        v = rhs * sc
+        return (
+            be.P_matvec(state, v),
+            be.GT(problem, state, be.G(problem, state, v)),
+        )
+
+    timed("ops", scan_over(ops_only), Winv2)
+
+
+if __name__ == "__main__":
+    main()
