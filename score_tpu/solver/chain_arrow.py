@@ -121,12 +121,21 @@ class ChainArrowStructure:
     range_row_base: jax.Array  # (NR,) int32
     end_a_cols: jax.Array  # (NR, d) x cols of endpoint-a translation
     end_b_cols: jax.Array  # (NR, d)
-    oh_pose_a: jax.Array  # (NR, C*T) one-hot: endpoint a is pose at slot
-    oh_pose_b: jax.Array  # (NR, C*T)
-    oh_lm_a: jax.Array  # (NR, NL)
-    oh_lm_b: jax.Array  # (NR, NL)
-    oh_chain_a: jax.Array  # (NR, C*T) pose endpoints resident in the CHAIN
-    oh_chain_b: jax.Array  # (NR, C*T)
+    # Degree-padded incidence lists. The pose/chain-site contractions over
+    # the NR measurements used to be (NR x C*T) one-hot f64 einsums —
+    # ~NR*CT emulated-f64 MACs per application on TPU; a degree-padded
+    # gather + small sum does the identical sums in ~CT*K f64 adds (f64
+    # ADDITION is accurate and cheap on this runtime, multiplies are not).
+    # Encoding: `pose_inc`/`lm_inc` index the per-call concatenation
+    # [ga; gb; zero-row] (endpoint-b entries offset by NR, pad = 2*NR);
+    # `chain_inc` holds the measurement index m (pad = NR) and
+    # `chain_other` the arrow site of m's OTHER endpoint (pad = NTB,
+    # which one-hot-compares to nothing) — the vertex cover guarantees a
+    # chain-resident endpoint's partner is arrow-resident.
+    pose_inc: jax.Array  # (C*T, Kp) int32
+    lm_inc: jax.Array  # (max(NL,1), Kl) int32
+    chain_inc: jax.Array  # (C*T, Kc) int32
+    chain_other: jax.Array  # (C*T, Kc) int32
     oh_arrow_a: jax.Array  # (NR, NTB) endpoint translation-zone site
     oh_arrow_b: jax.Array  # (NR, NTB)
     # priors
@@ -343,17 +352,45 @@ def build_chain_arrow(
     # --- range endpoint maps (vectorized over the NR ranges) -------------
     end_a_cols = np.full((NR, d), n, dtype=np.int64)
     end_b_cols = np.full((NR, d), n, dtype=np.int64)
-    oh_pose_a = np.zeros((NR, C * T))
-    oh_pose_b = np.zeros((NR, C * T))
-    oh_lm_a = np.zeros((NR, max(NL, 1)))
-    oh_lm_b = np.zeros((NR, max(NL, 1)))
-    oh_chain_a = np.zeros((NR, C * T))
-    oh_chain_b = np.zeros((NR, C * T))
     oh_arrow_a = np.zeros((NR, max(NTB, 1)))
     oh_arrow_b = np.zeros((NR, max(NTB, 1)))
+
+    def _pack_incidence(rows, vals, n_rows, pad, extra=None, extra_pad=0):
+        """Pack (row, val[, extra]) entry lists into degree-padded
+        (n_rows, Kmax) tables; Kmax = max per-row multiplicity (>= 1)."""
+        rows = np.asarray(rows, dtype=np.int64).reshape(-1)
+        vals = np.asarray(vals, dtype=np.int64).reshape(-1)
+        if rows.size == 0:
+            out = np.full((n_rows, 1), pad, dtype=np.int64)
+            if extra is None:
+                return out
+            return out, np.full((n_rows, 1), extra_pad, dtype=np.int64)
+        counts = np.bincount(rows, minlength=n_rows)
+        K = int(counts.max())
+        order = np.argsort(rows, kind="stable")
+        r = rows[order]
+        starts = np.zeros(n_rows + 1, dtype=np.int64)
+        starts[1:] = np.cumsum(counts)
+        pos = np.arange(r.size) - starts[r]
+        out = np.full((n_rows, K), pad, dtype=np.int64)
+        out[r, pos] = vals[order]
+        if extra is None:
+            return out
+        extra = np.asarray(extra, dtype=np.int64).reshape(-1)
+        out2 = np.full((n_rows, K), extra_pad, dtype=np.int64)
+        out2[r, pos] = extra[order]
+        return out, out2
+
+    pose_rows: list = []
+    pose_vals: list = []
+    lm_rows_l: list = []
+    lm_vals: list = []
+    chain_rows: list = []
+    chain_vals: list = []
+    chain_oth: list = []
     if NR:
         # per-endpoint index tables (python dict lookups once per range;
-        # all one-hot scatters below are single fancy-index assignments)
+        # everything below is vectorized fancy indexing)
         slot_of_pose = np.full(max(len(pose_cpos), 1), -1, dtype=np.int64)
         tsite_arr = np.full(max(len(pose_cpos), 1), -1, dtype=np.int64)
         for g, (c, t) in pose_cpos.items():
@@ -361,9 +398,11 @@ def build_chain_arrow(
         for p_, site in tsite_of_pose.items():
             tsite_arr[p_] = site
         m_idx = np.arange(NR)
-        for keys_pos, ec, ohp, ohl, ohc, oha in (
-            (0, end_a_cols, oh_pose_a, oh_lm_a, oh_chain_a, oh_arrow_a),
-            (1, end_b_cols, oh_pose_b, oh_lm_b, oh_chain_b, oh_arrow_b),
+        side_site = []  # arrow site of each side's endpoint, -1 if chain
+        side_data = []
+        for keys_pos, ec, oha in (
+            (0, end_a_cols, oh_arrow_a),
+            (1, end_b_cols, oh_arrow_b),
         ):
             names = [key[keys_pos] for key in idx.dist_keys]
             ec[:] = np.stack([idx.translation_cols(nm) for nm in names])
@@ -388,14 +427,54 @@ def build_chain_arrow(
                 dtype=np.int64,
             )
             lm_rows = m_idx[~is_pose]
-            ohl[lm_rows, lidx_v[~is_pose]] = 1.0
             oha[lm_rows, lidx_v[~is_pose]] = 1.0
             p_rows = m_idx[is_pose]
             p_sel = pidx_v[is_pose]
-            ohp[p_rows, slot_of_pose[p_sel]] = 1.0
             in_arrow = tsite_arr[p_sel] >= 0
             oha[p_rows[in_arrow], tsite_arr[p_sel[in_arrow]]] = 1.0
-            ohc[p_rows[~in_arrow], slot_of_pose[p_sel[~in_arrow]]] = 1.0
+
+            # incidence entries: [ga; gb] gather index = side*NR + m
+            pose_rows.append(slot_of_pose[p_sel])
+            pose_vals.append(keys_pos * NR + p_rows)
+            lm_rows_l.append(lidx_v[~is_pose])
+            lm_vals.append(keys_pos * NR + lm_rows)
+            site = np.full(NR, -1, dtype=np.int64)
+            site[~is_pose] = lidx_v[~is_pose]
+            site[p_rows[in_arrow]] = tsite_arr[p_sel[in_arrow]]
+            side_site.append(site)
+            side_data.append((is_pose, p_rows, p_sel, in_arrow))
+        for s, (is_pose, p_rows, p_sel, in_arrow) in enumerate(side_data):
+            ch_m = p_rows[~in_arrow]  # chain-resident endpoints
+            other = side_site[1 - s][ch_m]
+            # partner not arrow-resident => both endpoints chain-resident.
+            # The cover only permits this when one endpoint is the PINNED
+            # pose (excluded from the cover: its columns are masked, the
+            # coupling vanishes) — route the cross term to the one-hot pad
+            # site (contributes nothing), matching the one-hot einsums'
+            # silent drop; the diagonal still lands (and is masked by cm
+            # on the pinned slot).
+            other = np.where(other < 0, max(NTB, 1), other)
+            chain_rows.append(slot_of_pose[p_sel[~in_arrow]])
+            chain_vals.append(ch_m)
+            chain_oth.append(other)
+
+    pose_inc = _pack_incidence(
+        np.concatenate(pose_rows) if pose_rows else [],
+        np.concatenate(pose_vals) if pose_vals else [],
+        C * T, pad=2 * NR,
+    )
+    lm_inc = _pack_incidence(
+        np.concatenate(lm_rows_l) if lm_rows_l else [],
+        np.concatenate(lm_vals) if lm_vals else [],
+        max(NL, 1), pad=2 * NR,
+    )
+    chain_inc, chain_other = _pack_incidence(
+        np.concatenate(chain_rows) if chain_rows else [],
+        np.concatenate(chain_vals) if chain_vals else [],
+        C * T, pad=NR,
+        extra=np.concatenate(chain_oth) if chain_oth else [],
+        extra_pad=max(NTB, 1),
+    )
 
     # --- relative-pose local-position one-hot (static pattern from
     # assembly/conic: local pose layout col-major [R | t], pose_i at
@@ -445,12 +524,10 @@ def build_chain_arrow(
         range_row_base=iarr(range_row_base),
         end_a_cols=iarr(end_a_cols),
         end_b_cols=iarr(end_b_cols),
-        oh_pose_a=farr(oh_pose_a),
-        oh_pose_b=farr(oh_pose_b),
-        oh_lm_a=farr(oh_lm_a),
-        oh_lm_b=farr(oh_lm_b),
-        oh_chain_a=farr(oh_chain_a),
-        oh_chain_b=farr(oh_chain_b),
+        pose_inc=iarr(pose_inc),
+        lm_inc=iarr(lm_inc),
+        chain_inc=iarr(chain_inc),
+        chain_other=iarr(chain_other),
         oh_arrow_a=farr(oh_arrow_a),
         oh_arrow_b=farr(oh_arrow_b),
         prior_diag_sites=iarr(prior_diag_sites),
@@ -646,17 +723,21 @@ class ChainArrowBackend:
     @staticmethod
     def _range_endpoint_adjoint(state: "CAState", ga, gb):
         """Accumulate per-range endpoint gradients (NR, d) onto the pose-
-        slot translation layout (C, T, D) and landmark layout (NL, d)."""
+        slot translation layout (C, T, D) and landmark layout (NL, d).
+
+        Degree-padded gather + sum over the incidence lists: the same
+        sums a (NR x C*T) one-hot einsum computes, at ~CT*K f64 ADDS
+        instead of NR*CT emulated-f64 MACs (this runs in every condensed
+        KKT solve — it is the hottest structured operator)."""
         st = state.structure
         d, D = st.d, st.D
-        tr = jnp.einsum("mp,mi->pi", st.oh_pose_a, ga) + jnp.einsum(
-            "mp,mi->pi", st.oh_pose_b, gb
-        )  # (C*T, d)
+        gab = jnp.concatenate(
+            [ga, gb, jnp.zeros((1, d), dtype=ga.dtype)], axis=0
+        )
+        tr = jnp.sum(gab[st.pose_inc], axis=1)  # (C*T, d)
         vc = jnp.zeros((st.C * st.T, D), dtype=ga.dtype)
         vc = vc.at[:, d * d :].set(tr).reshape(st.C, st.T, D)
-        vl = jnp.einsum("ml,mi->li", st.oh_lm_a, ga) + jnp.einsum(
-            "ml,mi->li", st.oh_lm_b, gb
-        )
+        vl = jnp.sum(gab[st.lm_inc], axis=1)
         return vc, vl[: st.NL]
 
     # ---------------- prepare ---------------- #
@@ -959,12 +1040,16 @@ class ChainArrowBackend:
         Sblk = jnp.zeros((st.NTB, d, st.NTB, d), dtype=dtype)
         Bg = state.B0
         if st.NR:
-            # chain diagonals
-            diag_c = jnp.einsum(
-                "mp,mij->pij", st.oh_chain_a + st.oh_chain_b, Hhat
+            # chain diagonals: gather each slot's incident Hhat blocks and
+            # sum (degree-padded; identical sums to the one-hot einsum at
+            # a tiny fraction of the emulated-f64 multiply work)
+            Hp = jnp.concatenate(
+                [Hhat, jnp.zeros((1, d, d), dtype=dtype)], axis=0
             )
+            diag_c = jnp.sum(Hp[st.chain_inc], axis=1)  # (C*T, d, d)
             Dg = Dg.at[:, d * d :, d * d :].add(diag_c)
-            # arrow diagonals (translation-zone sites)
+            # arrow diagonals (translation-zone sites; NR x NTB stays an
+            # einsum — NTB is small, the contraction is cheap)
             diag_a = jnp.einsum(
                 "mb,mij->bij", st.oh_arrow_a + st.oh_arrow_b, Hhat
             )
@@ -975,20 +1060,19 @@ class ChainArrowBackend:
                 "ma,mb,mij->aibj", st.oh_arrow_a, st.oh_arrow_b, -Hhat
             )
             Sblk = Sblk + cross_aa + jnp.einsum("aibj->bjai", cross_aa)
-            # chain-arrow cross terms, factorized into d*d plain matmuls
-            # (a direct 'mp,mb,mij->pbij' einsum materializes a
-            # (C*T, NTB, d, d) intermediate — hundreds of MB at Manhattan
-            # scale; each (i, j) slice below is a (CT x NR)(NR x NTB)
-            # matmul with small intermediates, MXU-friendly). Hhat symmetric.
+            # chain-arrow cross terms: each chain-resident endpoint
+            # couples to its partner's arrow site with -Hhat (Hhat
+            # symmetric, so both sides use the same block). Gather the
+            # incident blocks per slot and one-hot them onto the (small)
+            # NTB axis — (CT, K, NTB, d, d) worth of work instead of the
+            # old d*d (CT x NR)(NR x NTB) emulated-f64 matmuls.
+            Hg = -Hp[st.chain_inc]  # (C*T, Kc, d, d)
+            oh_other = (
+                st.chain_other[..., None] == jnp.arange(st.NTB)
+            ).astype(dtype)  # (C*T, Kc, NTB; NR > 0 implies NTB >= 1)
+            cross = jnp.einsum("pkij,pkb->pibj", Hg, oh_other)
             Badd = jnp.zeros((C * T, D, st.NTB, d), dtype=dtype)
-            for i in range(d):
-                for j in range(d):
-                    w_ij = -Hhat[:, i, j]
-                    cross_ij = (
-                        (st.oh_chain_a * w_ij[:, None]).T @ st.oh_arrow_b
-                        + (st.oh_chain_b * w_ij[:, None]).T @ st.oh_arrow_a
-                    )  # (C*T, NTB)
-                    Badd = Badd.at[:, d * d + i, :, j].add(cross_ij)
+            Badd = Badd.at[:, d * d :].set(cross)
             Bg = Bg.at[..., :tz].add(
                 Badd.reshape(C * T, D, st.NTB * d)[..., :tz].reshape(
                     C, T, D, tz

@@ -22,9 +22,13 @@ import numpy as np
 
 def main():
     import os
+    import sys
 
     import jax
     import jax.numpy as jnp
+
+    phases = (sys.argv[1].split(",") if len(sys.argv) > 1
+              else ["empty", "factor", "assemble", "band", "solve", "ops"])
 
     if os.environ.get("MB_ALLOW_CPU") != "1":
         assert jax.default_backend() == "tpu", jax.default_backend()
@@ -44,6 +48,9 @@ def main():
     fg, _ = normalize_factor_graph(fg)
     problem, idx = build_conic_problem(fg, "SOCP")
     aux = build_chain_arrow(problem, idx)
+    # device arrays: phases close over `problem`, and numpy leaves cannot
+    # be indexed by tracers inside the jitted loops
+    problem = jax.tree_util.tree_map(jnp.asarray, problem)
     params = IPMParams()
     be = MixedChainArrowBackend
     state = be.prepare(problem, aux)
@@ -102,16 +109,20 @@ def main():
                             length=REPS)
         return c
 
-    timed("empty", empty, Winv2)
+    if "empty" in phases:
+        timed("empty", empty, Winv2)
 
-    timed("factor", scan_over(lambda W: be.factor(problem, state, W, params)),
-          Winv2)
-    timed(
-        "assemble",
-        scan_over(lambda W: ChainArrowBackend._assemble(
-            problem, state, W, params)[:4]),
-        Winv2,
-    )
+    if "factor" in phases:
+        timed("factor",
+              scan_over(lambda W: be.factor(problem, state, W, params)),
+              Winv2)
+    if "assemble" in phases:
+        timed(
+            "assemble",
+            scan_over(lambda W: ChainArrowBackend._assemble(
+                problem, state, W, params)[:4]),
+            Winv2,
+        )
 
     st = state.structure
     Dg, Ug, Bg, Sg, kdd, wv, Hhat, delta = ChainArrowBackend._assemble(
@@ -124,15 +135,23 @@ def main():
         return be._factor_band(st, Dg * sc, Ug, Bg, Sg, delta, params,
                                use_tf=True)[2]
 
-    timed("band", scan_over(band_only), Winv2)
+    if "band" in phases:
+        timed("band", scan_over(band_only), Winv2)
 
-    factors = be.factor(problem, state, Winv2, params)
+    # NOTE: must be jitted — an eager/standalone compile of the factor
+    # kernel adds an operand copy into its scoped-vmem stack and goes
+    # ~224K over the 16 MB budget (production always runs it inside the
+    # solve jit, where it fits)
+    factors = jax.jit(
+        lambda W: be.factor(problem, state, W, params)
+    )(Winv2)
 
     def solve_only(W):
         sc = 1.0 + 1e-12 * jnp.sum(W[..., :1, :1])
         return be._solve_once(problem, state, factors, rhs * sc)
 
-    timed("solve", scan_over(solve_only), Winv2)
+    if "solve" in phases:
+        timed("solve", scan_over(solve_only), Winv2)
 
     def ops_only(W):
         sc = 1.0 + 1e-12 * jnp.sum(W[..., :1, :1])
@@ -142,7 +161,26 @@ def main():
             be.GT(problem, state, be.G(problem, state, v)),
         )
 
-    timed("ops", scan_over(ops_only), Winv2)
+    if "ops" in phases:
+        timed("ops", scan_over(ops_only), Winv2)
+
+    if "advance" in phases:
+        # one full IPM iteration (bookkeeping + Mehrotra step) iterated
+        # REPS times on its own state — the true per-iteration cost
+        from score_tpu.solver import ipm as _ipm
+
+        def advance_loop(W):
+            so = be.prepare(problem, aux)
+            st0 = _ipm._make_initial_state(be, problem, so, params)
+            st0 = st0._replace(x=st0.x * (1.0 + 1e-12 * jnp.sum(W[0, 0, 0])))
+
+            def step(st, _):
+                return _ipm._advance(be, problem, so, params, st), None
+
+            st, _ = jax.lax.scan(step, st0, None, length=REPS)
+            return st.x
+
+        timed("advance", advance_loop, Winv2)
 
 
 if __name__ == "__main__":
