@@ -1,15 +1,20 @@
-"""Device-accurate per-phase microbench (GOATS mixed path).
+"""Device-accurate per-phase microbench (mixed path).
 
 The axon tunnel imposes ~30 ms per individually-timed dispatch, so each
 phase here is run REPS times inside one jitted lax.scan (carry-dependent
 so XLA cannot hoist it) and the per-call time is (wall - base)/REPS.
+argv[1] = comma-separated phases; argv[2] = workload (goats | robot20).
 Phases:
 
   factor    full MixedChainArrowBackend.factor (assembly + band factor)
   assemble  _assemble only (W-dependent KKT block build, f64 einsums)
   band      _factor_band only (two-float Pallas PCR + arrow Schur)
+  bandfac   two-float Pallas PCR factorization alone
+  panel     the arrow coupling-panel solve Z = T^-1 B alone (K = A rhs)
+  schur     S - B'Z formation + dense Cholesky alone
   solve     one condensed band solve (_solve_once)
   ops       one P/G/G' residual operator set
+  advance   one full IPM iteration
 
 Prints one JSON line per phase.
 """
@@ -29,6 +34,7 @@ def main():
 
     phases = (sys.argv[1].split(",") if len(sys.argv) > 1
               else ["empty", "factor", "assemble", "band", "solve", "ops"])
+    workload = sys.argv[2] if len(sys.argv) > 2 else "goats"
 
     if os.environ.get("MB_ALLOW_CPU") != "1":
         assert jax.default_backend() == "tpu", jax.default_backend()
@@ -44,7 +50,23 @@ def main():
     )
     from score_tpu.solver.ipm import IPMParams
 
-    fg = parse_pickle_file(goats_pickle_path())
+    if workload == "goats":
+        fg = parse_pickle_file(goats_pickle_path())
+    elif workload == "robot20":
+        from score_tpu.sim.manhattan import (
+            ManhattanWorldParams,
+            simulate_manhattan_world,
+        )
+
+        fg = simulate_manhattan_world(
+            ManhattanWorldParams(
+                num_robots=20, num_poses_per_robot=100, num_landmarks=10,
+                grid_size=30, range_measure_prob=0.25,
+                inter_robot_measure_prob=0.05, seed=20,
+            )
+        )
+    else:
+        raise SystemExit(f"unknown workload {workload}")
     fg, _ = normalize_factor_graph(fg)
     problem, idx = build_conic_problem(fg, "SOCP")
     aux = build_chain_arrow(problem, idx)
@@ -137,6 +159,74 @@ def main():
 
     if "band" in phases:
         timed("band", scan_over(band_only), Winv2)
+
+    if any(p in phases for p in ("bandfac", "panel", "schur")):
+        # decompose the band phase: equilibrate exactly like the mixed
+        # factor, then time each stage against FIXED upstream inputs
+        from score_tpu.ops import twofloat as tfm
+        from score_tpu.ops.pallas_pcr import (
+            ppcr_factor_pallas,
+            ppcr_solve_pallas,
+        )
+        from score_tpu.solver.pcr import pcr_pad_length
+
+        C, T, D, A = st.C, st.T, st.D, st.A
+        iD = jnp.arange(D)
+        dCs = 1.0 / jnp.sqrt(Dg[..., iD, iD])
+        dAs = 1.0 / jnp.sqrt(jnp.diag(Sg))
+        DgE = Dg * dCs[..., :, None] * dCs[..., None, :]
+        UgE = (Ug * dCs[:, :-1, :, None] * dCs[:, 1:, None, :]
+               if T > 1 else Ug)
+        BgE = Bg * dCs[..., :, None] * dAs[None, None, None, :]
+        SgE = Sg * dAs[:, None] * dAs[None, :]
+        Tp = pcr_pad_length(T)
+        Dp = jnp.broadcast_to(
+            jnp.eye(D, dtype=Dg.dtype), (C, Tp, D, D)
+        ).at[:, :T].set(DgE)
+        Up = jnp.zeros((C, Tp, D, D), Dg.dtype)
+        if T > 1:
+            Up = Up.at[:, : T - 1].set(UgE)
+        Bp2 = jnp.zeros((C, Tp, D, A), Dg.dtype).at[:, :T].set(BgE)
+
+        if "bandfac" in phases:
+            timed(
+                "bandfac",
+                scan_over(lambda W: ppcr_factor_pallas(
+                    tfm.from_f64(
+                        Dp * (1.0 + 1e-12 * jnp.sum(W[..., :1, :1]))
+                    ),
+                    tfm.from_f64(Up),
+                )),
+                Winv2,
+            )
+        pcrf2 = jax.jit(
+            lambda d: ppcr_factor_pallas(tfm.from_f64(d), tfm.from_f64(Up))
+        )(Dp)
+        if "panel" in phases:
+            timed(
+                "panel",
+                scan_over(lambda W: ppcr_solve_pallas(
+                    pcrf2,
+                    tfm.from_f64(
+                        Bp2 * (1.0 + 1e-12 * jnp.sum(W[..., :1, :1]))
+                    ),
+                )),
+                Winv2,
+            )
+        Z2 = jax.jit(
+            lambda b: tfm.to_f64(
+                ppcr_solve_pallas(pcrf2, tfm.from_f64(b))
+            )
+        )(Bp2)
+        if "schur" in phases:
+            timed(
+                "schur",
+                scan_over(lambda W: jnp.linalg.cholesky(
+                    SgE * (1.0 + 1e-12 * jnp.sum(W[..., :1, :1]))
+                    - jnp.einsum("ctia,ctib->ab", Bp2, Z2)
+                )),
+                Winv2,
+            )
 
     # NOTE: must be jitted — an eager/standalone compile of the factor
     # kernel adds an operand copy into its scoped-vmem stack and goes
