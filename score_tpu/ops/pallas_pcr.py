@@ -51,6 +51,7 @@ tests (interpret mode on CPU, compiled on TPU).
 from __future__ import annotations
 
 import functools
+import os
 import sys
 from typing import NamedTuple
 
@@ -68,6 +69,8 @@ from score_tpu.ops import twofloat as tfm
 from score_tpu.ops.twofloat import TF
 
 __all__ = [
+    "CRFactors",
+    "CRLevel",
     "PPCRFactors",
     "ppcr_factor_pallas",
     "ppcr_solve_pallas",
@@ -105,6 +108,63 @@ class PPCRFactors(NamedTuple):
     E: TF
     F: TF
     invD: TF
+
+
+class CRLevel(NamedTuple):
+    """One compacting-CR level's stored blocks, all at the coarse
+    (half) width: E/F reduce the rhs onto the retained even rows;
+    invD/A/C back-substitute the eliminated odd rows (A, C are the
+    level INPUT couplings at the odd rows)."""
+
+    E: TF
+    F: TF
+    invD: TF
+    A: TF
+    C: TF
+
+
+class CRFactors(NamedTuple):
+    """Compacting cyclic-reduction factors: ``levels`` (fine -> coarse)
+    eliminate odd rows and HALVE the lane width each step — outside the
+    kernels, as XLA stride-2 lane slices (Mosaic cannot compact
+    in-kernel, but it never needs to: the shift distance stays 1 because
+    dropped rows make surviving neighbors adjacent) — and ``base`` is a
+    plain all-positions PCR factorization of the compacted remainder.
+    Compaction does ~1/log2(T) of PCR's block work; eliminations on the
+    retained rows are arithmetically IDENTICAL to PCR's, so accuracy is
+    unchanged (odd rows swap a redundant reduction for one exact
+    back-substitution)."""
+
+    levels: tuple  # of CRLevel
+    base: PPCRFactors
+
+
+# Compact while the next level still fills this many lanes (the Mosaic
+# lane-alignment floor); module-level so interpret-mode tests can drop
+# it to exercise compaction on tiny chains, env-overridable so perf
+# A/B runs can disable compaction (set it huge) without code edits.
+_CR_MIN_LANES = int(os.environ.get("SCORE_TPU_CR_MIN_LANES", 128))
+
+
+def _cr_schedule(T: int, lanes: int) -> int:
+    """Number of compaction levels for chains of length T in chunks of
+    ``lanes`` total lanes (both powers of two)."""
+    n = 0
+    while (T >> n) >= 2 and (lanes >> (n + 1)) >= _CR_MIN_LANES:
+        n += 1
+    return n
+
+
+def _even_lanes(a):
+    return a[..., 0::2]
+
+
+def _odd_lanes(a):
+    return a[..., 1::2]
+
+
+def _interleave_lanes(ev, od):
+    return jnp.stack([ev, od], axis=-1).reshape(ev.shape[:-1] + (-1,))
 
 
 def _num_levels(T: int) -> int:
@@ -225,7 +285,7 @@ def _block_inv(D: TF, Db: int) -> TF:
 
 
 def _level_body(D: TF, A: TF, C: TF, s, Db: int, T: int):
-    """One PCR elimination level: returns (E, F, D', A', C')."""
+    """One PCR elimination level: returns (E, F, D', A', C', invD)."""
     invD = _block_inv(D, Db)
     E = tfm.neg(_mm(A, _shift(invD, s, T, down=True)))
     F = tfm.neg(_mm(C, _shift(invD, s, T, down=False)))
@@ -238,7 +298,7 @@ def _level_body(D: TF, A: TF, C: TF, s, Db: int, T: int):
     )
     A2 = _mm(E, _shift(A, s, T, down=True))
     C2 = _mm(F, _shift(C, s, T, down=False))
-    return E, F, D2, A2, C2
+    return E, F, D2, A2, C2, invD
 
 
 def _factor_level_kernel(s_ref, dhi, dlo, ahi, alo, chi, clo,
@@ -259,7 +319,7 @@ def _factor_level_kernel(s_ref, dhi, dlo, ahi, alo, chi, clo,
     D = TF(dhi[...], dlo[...])
     A = TF(ahi[...], alo[...])
     C = TF(chi[...], clo[...])
-    E, F, D2, A2, C2 = _level_body(D, A, C, s, Db, T)
+    E, F, D2, A2, C2, _ = _level_body(D, A, C, s, Db, T)
     ehi[...], elo[...] = E.hi, E.lo
     fhi[...], flo[...] = F.hi, F.lo
     d2hi[...], d2lo[...] = D2.hi, D2.lo
@@ -280,15 +340,76 @@ def _factor_level2_kernel(s_ref, dhi, dlo, ahi, alo, chi, clo,
     D = TF(dhi[...], dlo[...])
     A = TF(ahi[...], alo[...])
     C = TF(chi[...], clo[...])
-    E1, F1, D1, A1, C1 = _level_body(D, A, C, s, Db, T)
+    E1, F1, D1, A1, C1, _ = _level_body(D, A, C, s, Db, T)
     e1hi[...], e1lo[...] = E1.hi, E1.lo
     f1hi[...], f1lo[...] = F1.hi, F1.lo
-    E2, F2, D2, A2, C2 = _level_body(D1, A1, C1, s * 2, Db, T)
+    E2, F2, D2, A2, C2, _ = _level_body(D1, A1, C1, s * 2, Db, T)
     e2hi[...], e2lo[...] = E2.hi, E2.lo
     f2hi[...], f2lo[...] = F2.hi, F2.lo
     d2hi[...], d2lo[...] = D2.hi, D2.lo
     a2hi[...], a2lo[...] = A2.hi, A2.lo
     c2hi[...], c2lo[...] = C2.hi, C2.lo
+
+
+def _cr_level_kernel(s_ref, dhi, dlo, ahi, alo, chi, clo,
+                     ehi, elo, fhi, flo, ivhi, ivlo,
+                     d2hi, d2lo, a2hi, a2lo, c2hi, c2lo,
+                     *, Db: int, T: int):
+    """One COMPACTING cyclic-reduction level: identical elimination to
+    `_factor_level_kernel` at s (always 1 after compaction — neighbors
+    become adjacent when the caller drops eliminated rows), but also
+    emits the block inverses invD (the caller keeps the ODD-row slices
+    for back-substitution; even-row slices of D2/A2/C2 feed the next,
+    half-width level)."""
+    s = s_ref[0]
+    D = TF(dhi[...], dlo[...])
+    A = TF(ahi[...], alo[...])
+    C = TF(chi[...], clo[...])
+    E, F, D2, A2, C2, invD = _level_body(D, A, C, s, Db, T)
+    ehi[...], elo[...] = E.hi, E.lo
+    fhi[...], flo[...] = F.hi, F.lo
+    ivhi[...], ivlo[...] = invD.hi, invD.lo
+    d2hi[...], d2lo[...] = D2.hi, D2.lo
+    a2hi[...], a2lo[...] = A2.hi, A2.lo
+    c2hi[...], c2lo[...] = C2.hi, C2.lo
+
+
+def _cr_reduce_kernel(ehi, elo, fhi, flo, behi, belo, bohi, bolo,
+                      outhi, outlo, *, Db: int, T: int):
+    """CR rhs reduction onto the retained (even) rows, all operands at
+    the COARSE width (T = coarse chain length): even row 2j has odd
+    neighbors 2j-1 = shift-down(odd)[j] and 2j+1 = odd[j], so
+    b'[j] = b_ev[j] + E[j] odd[j-1] + F[j] odd[j]."""
+    E = TF(ehi[...], elo[...])
+    F = TF(fhi[...], flo[...])
+    be = TF(behi[...], belo[...])
+    bo = TF(bohi[...], bolo[...])
+    out = tfm.normalize(
+        tfm.add_sloppy(
+            be,
+            tfm.add_sloppy(_mm(E, _shift(bo, 1, T, down=True)),
+                           _mm(F, bo)),
+        )
+    )
+    outhi[...], outlo[...] = out.hi, out.lo
+
+
+def _cr_backsub_kernel(ivhi, ivlo, ahi, alo, chi, clo,
+                       bohi, bolo, xehi, xelo, xohi, xolo,
+                       *, Db: int, T: int):
+    """CR back-substitution for the eliminated (odd) rows, all operands
+    at the COARSE width: odd row 2j+1 has even neighbors 2j = even[j]
+    and 2j+2 = shift-up(even)[j], so
+    x_od[j] = invD_od[j] (b_od[j] - A_od[j] x_ev[j] - C_od[j] x_ev[j+1])."""
+    invD = TF(ivhi[...], ivlo[...])
+    A = TF(ahi[...], alo[...])
+    C = TF(chi[...], clo[...])
+    bo = TF(bohi[...], bolo[...])
+    xe = TF(xehi[...], xelo[...])
+    r = tfm.sub(bo, _mm(A, xe))
+    r = tfm.sub(r, _mm(C, _shift(xe, 1, T, down=False)))
+    xo = _mm(invD, r)
+    xohi[...], xolo[...] = xo.hi, xo.lo
 
 
 def _block_inv_kernel(dhi, dlo, ivhi, ivlo, *, Db: int):
@@ -369,7 +490,8 @@ def _chunk_group(C: int, T: int, Db: int) -> int:
     return group
 
 
-def _ppcr_factor_impl(D: TF, U: TF, interpret=None, group=None) -> PPCRFactors:
+def _ppcr_factor_impl(D: TF, U: TF, interpret=None, group=None,
+                      compact=False):
     """Factor C independent block-tridiagonal systems.
 
     D, U: TF of shape (C, T, Db, Db) (same convention as solver/pcr.py:
@@ -378,7 +500,10 @@ def _ppcr_factor_impl(D: TF, U: TF, interpret=None, group=None) -> PPCRFactors:
     kernel call (C padded up with decoupled identity chains); factors
     keep the padded lane count — the solve pads its rhs to match.
     ``group`` overrides the chunk size (the vmap rules pick one that
-    divides the folded chain count).
+    divides the folded chain count). With ``compact`` the first
+    `_cr_schedule` levels run as compacting cyclic reduction (lane width
+    halves per level — ~1/log2(T) of PCR's block work) and the return
+    type is :class:`CRFactors`.
     """
     C, T, Db, _ = D.hi.shape
     if interpret is None:
@@ -394,30 +519,44 @@ def _ppcr_factor_impl(D: TF, U: TF, interpret=None, group=None) -> PPCRFactors:
         D = TF(jnp.concatenate([D.hi, eye]), jnp.concatenate([D.lo, zb]))
         U = TF(jnp.concatenate([U.hi, zb]), jnp.concatenate([U.lo, zb]))
         C = C + extra
-    levels = _num_levels(T)
     CTc = group * T  # lanes per chunk
-    shp_b = jax.ShapeDtypeStruct((Db, Db, CTc), jnp.float32)
+    n_cr = _cr_schedule(T, CTc) if compact else 0
+    Tb, CTb = T >> n_cr, CTc >> n_cr  # base-case chain length / width
+    levels = _num_levels(Tb)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+
+    def shp(w):
+        return jax.ShapeDtypeStruct((Db, Db, w), jnp.float32)
 
     init_call = pl.pallas_call(
         functools.partial(_init_A_kernel, T=T),
         in_specs=[_vspec()] * 2,
         out_specs=(_vspec(), _vspec()),
-        out_shape=(shp_b, shp_b),
+        out_shape=(shp(CTc), shp(CTc)),
         interpret=interpret,
     )
+    cr_calls = [
+        pl.pallas_call(
+            functools.partial(_cr_level_kernel, Db=Db, T=T >> l),
+            in_specs=[smem] + [_vspec()] * 6,
+            out_specs=(_vspec(),) * 12,
+            out_shape=(shp(CTc >> l),) * 12,
+            interpret=interpret,
+        )
+        for l in range(n_cr)
+    ]
     level_call = pl.pallas_call(
-        functools.partial(_factor_level_kernel, Db=Db, T=T),
+        functools.partial(_factor_level_kernel, Db=Db, T=Tb),
         in_specs=[smem] + [_vspec()] * 6,
         out_specs=(_vspec(),) * 10,
-        out_shape=(shp_b,) * 10,
+        out_shape=(shp(CTb),) * 10,
         interpret=interpret,
     )
     level2_call = pl.pallas_call(
-        functools.partial(_factor_level2_kernel, Db=Db, T=T),
+        functools.partial(_factor_level2_kernel, Db=Db, T=Tb),
         in_specs=[smem] + [_vspec()] * 6,
         out_specs=(_vspec(),) * 14,
-        out_shape=(shp_b,) * 14,
+        out_shape=(shp(CTb),) * 14,
         interpret=interpret,
     )
     # dual-level launches halve the factor's launch count; the extra
@@ -428,20 +567,38 @@ def _ppcr_factor_impl(D: TF, U: TF, interpret=None, group=None) -> PPCRFactors:
         functools.partial(_block_inv_kernel, Db=Db),
         in_specs=[_vspec()] * 2,
         out_specs=(_vspec(), _vspec()),
-        out_shape=(shp_b, shp_b),
+        out_shape=(shp(CTb), shp(CTb)),
         interpret=interpret,
     )
 
     Ehs, Els, Fhs, Fls, IVhs, IVls = [], [], [], [], [], []
+    cr_store = [[] for _ in range(n_cr)]  # per level: list of CRLevel
+    s1 = jnp.asarray([1], jnp.int32)
     with tfm.no_barriers():
         for c0 in range(0, C, group):
             Dc = TF(D.hi[c0:c0 + group], D.lo[c0:c0 + group])
             Uc = TF(U.hi[c0:c0 + group], U.lo[c0:c0 + group])
             dhi, dlo = _to_lanes(Dc.hi), _to_lanes(Dc.lo)
             uhi, ulo = _to_lanes(Uc.hi), _to_lanes(Uc.lo)
-            if levels > 0:
+            if T > 1:
                 ahi, alo = init_call(uhi, ulo)
                 chi, clo = uhi, ulo
+                for l in range(n_cr):
+                    (ehi, elo, fhi, flo, ivhi, ivlo, d2hi, d2lo,
+                     a2hi, a2lo, c2hi, c2lo) = cr_calls[l](
+                        s1, dhi, dlo, ahi, alo, chi, clo
+                    )
+                    cr_store[l].append(CRLevel(
+                        E=TF(_even_lanes(ehi), _even_lanes(elo)),
+                        F=TF(_even_lanes(fhi), _even_lanes(flo)),
+                        invD=TF(_odd_lanes(ivhi), _odd_lanes(ivlo)),
+                        A=TF(_odd_lanes(ahi), _odd_lanes(alo)),
+                        C=TF(_odd_lanes(chi), _odd_lanes(clo)),
+                    ))
+                    dhi, dlo = _even_lanes(d2hi), _even_lanes(d2lo)
+                    ahi, alo = _even_lanes(a2hi), _even_lanes(a2lo)
+                    chi, clo = _even_lanes(c2hi), _even_lanes(c2lo)
+            if levels > 0:
                 Es, Fs = [], []
                 lev = 0
                 while lev < levels:
@@ -469,8 +626,8 @@ def _ppcr_factor_impl(D: TF, U: TF, interpret=None, group=None) -> PPCRFactors:
                 Els.append(jnp.concatenate([e[1] for e in Es], axis=0))
                 Fhs.append(jnp.concatenate([f[0] for f in Fs], axis=0))
                 Fls.append(jnp.concatenate([f[1] for f in Fs], axis=0))
-            else:  # T == 1: no levels; 1-level zero pad keeps shapes static
-                z = jnp.zeros((Db, Db, CTc), jnp.float32)
+            else:  # Tb == 1: no levels; 1-level zero pad keeps shapes static
+                z = jnp.zeros((Db, Db, CTb), jnp.float32)
                 Ehs.append(z); Els.append(z); Fhs.append(z); Fls.append(z)
             ivhi, ivlo = inv_call(dhi, dlo)
             IVhs.append(ivhi)
@@ -479,11 +636,140 @@ def _ppcr_factor_impl(D: TF, U: TF, interpret=None, group=None) -> PPCRFactors:
     def cat(parts):
         return parts[0] if len(parts) == 1 else jnp.concatenate(parts, -1)
 
-    return PPCRFactors(
+    base = PPCRFactors(
         E=TF(cat(Ehs), cat(Els)),
         F=TF(cat(Fhs), cat(Fls)),
         invD=TF(cat(IVhs), cat(IVls)),
     )
+    if n_cr == 0:
+        return base
+    cat_lv = [
+        jax.tree_util.tree_map(lambda *p: cat(list(p)), *cr_store[l])
+        for l in range(n_cr)
+    ]
+    return CRFactors(levels=tuple(cat_lv), base=base)
+
+
+def _cr_solve_impl(factors: CRFactors, rhs: TF, interpret=None,
+                   group=None) -> TF:
+    """Solve through compacting-CR factors; rhs TF (C, T, Db, K).
+
+    Mirrors `_ppcr_solve_impl`'s chunk/K tiling: per chunk, the rhs runs
+    the CR reductions (lane width halving per level, the odd-row rhs
+    saved for back-substitution), the base PCR replay on the compacted
+    remainder, then the back-substitution sweep re-interleaving the
+    eliminated rows."""
+    C, T, Db, K = rhs.hi.shape
+    if interpret is None:
+        interpret = _interpret_default()
+    n_cr = len(factors.levels)
+    CT = factors.base.invD.hi.shape[-1] << n_cr  # fine chunk-padded lanes
+    if CT != C * T:  # factor was chain-padded: pad the rhs to match
+        extra = CT // T - C
+        z = jnp.zeros((extra, T, Db, K), jnp.float32)
+        rhs = TF(jnp.concatenate([rhs.hi, z]), jnp.concatenate([rhs.lo, z]))
+    Corig, C = C, CT // T
+    if group is None:
+        group = _chunk_group(C, T, Db)
+    CTc = group * T
+    CTb = CTc >> n_cr
+    Tb = T >> n_cr
+    n_chunks = CT // CTc
+    Kc = max(1, min(K, (256 << 10) // (Db * CTc * 4)))
+
+    bhi = jnp.transpose(rhs.hi, (2, 3, 0, 1)).reshape(Db, K, CT)
+    blo = jnp.transpose(rhs.lo, (2, 3, 0, 1)).reshape(Db, K, CT)
+
+    def cr_reduce(lv4, beh, bel, boh, bol, l):
+        kk, W = beh.shape[1], beh.shape[-1]
+        shp = jax.ShapeDtypeStruct((Db, kk, W), jnp.float32)
+        with tfm.no_barriers():
+            return pl.pallas_call(
+                functools.partial(_cr_reduce_kernel, Db=Db, T=T >> (l + 1)),
+                in_specs=[_vspec()] * 8,
+                out_specs=(_vspec(), _vspec()),
+                out_shape=(shp, shp),
+                interpret=interpret,
+            )(*lv4, beh, bel, boh, bol)
+
+    def cr_backsub(lv6, boh, bol, xeh, xel, l):
+        kk, W = boh.shape[1], boh.shape[-1]
+        shp = jax.ShapeDtypeStruct((Db, kk, W), jnp.float32)
+        with tfm.no_barriers():
+            return pl.pallas_call(
+                functools.partial(_cr_backsub_kernel, Db=Db, T=T >> (l + 1)),
+                in_specs=[_vspec()] * 10,
+                out_specs=(_vspec(), _vspec()),
+                out_shape=(shp, shp),
+                interpret=interpret,
+            )(*lv6, boh, bol, xeh, xel)
+
+    def base_launch(efslices, bh, bl):
+        kk = bh.shape[1]
+        shp = jax.ShapeDtypeStruct((Db, kk, CTb), jnp.float32)
+        with tfm.no_barriers():
+            return pl.pallas_call(
+                functools.partial(_solve_kernel, Db=Db, T=Tb),
+                in_specs=[_vspec()] * 8,
+                out_specs=(_vspec(), _vspec()),
+                out_shape=(shp, shp),
+                interpret=interpret,
+            )(*efslices, bh, bl)
+
+    base = factors.base
+    outs_hi = [[] for _ in range(n_chunks)]
+    outs_lo = [[] for _ in range(n_chunks)]
+    for ci in range(n_chunks):
+        slb = slice(ci * CTb, (ci + 1) * CTb)
+        ef = (
+            base.E.hi[:, :, slb], base.E.lo[:, :, slb],
+            base.F.hi[:, :, slb], base.F.lo[:, :, slb],
+            base.invD.hi[:, :, slb], base.invD.lo[:, :, slb],
+        )
+        for k0 in range(0, K, Kc):
+            k1 = min(K, k0 + Kc)
+            bh = bhi[:, k0:k1, ci * CTc:(ci + 1) * CTc]
+            bl = blo[:, k0:k1, ci * CTc:(ci + 1) * CTc]
+            saved = []
+            for l in range(n_cr):
+                Wc = CTc >> (l + 1)
+                sl = slice(ci * Wc, (ci + 1) * Wc)
+                lv = factors.levels[l]
+                beh, bel = _even_lanes(bh), _even_lanes(bl)
+                boh, bol = _odd_lanes(bh), _odd_lanes(bl)
+                saved.append((boh, bol))
+                bh, bl = cr_reduce(
+                    (lv.E.hi[:, :, sl], lv.E.lo[:, :, sl],
+                     lv.F.hi[:, :, sl], lv.F.lo[:, :, sl]),
+                    beh, bel, boh, bol, l,
+                )
+            xh, xl = base_launch(ef, bh, bl)
+            for l in reversed(range(n_cr)):
+                Wc = CTc >> (l + 1)
+                sl = slice(ci * Wc, (ci + 1) * Wc)
+                lv = factors.levels[l]
+                boh, bol = saved[l]
+                xoh, xol = cr_backsub(
+                    (lv.invD.hi[:, :, sl], lv.invD.lo[:, :, sl],
+                     lv.A.hi[:, :, sl], lv.A.lo[:, :, sl],
+                     lv.C.hi[:, :, sl], lv.C.lo[:, :, sl]),
+                    boh, bol, xh, xl, l,
+                )
+                xh = _interleave_lanes(xh, xoh)
+                xl = _interleave_lanes(xl, xol)
+            outs_hi[ci].append(xh)
+            outs_lo[ci].append(xl)
+
+    def cat_k(parts):
+        return parts[0] if len(parts) == 1 else jnp.concatenate(parts, 1)
+
+    xhi = jnp.concatenate([cat_k(p) for p in outs_hi], axis=-1) \
+        if n_chunks > 1 else cat_k(outs_hi[0])
+    xlo = jnp.concatenate([cat_k(p) for p in outs_lo], axis=-1) \
+        if n_chunks > 1 else cat_k(outs_lo[0])
+    xhi = jnp.transpose(xhi.reshape(Db, K, C, T), (2, 3, 0, 1))[:Corig]
+    xlo = jnp.transpose(xlo.reshape(Db, K, C, T), (2, 3, 0, 1))[:Corig]
+    return TF(xhi, xlo)
 
 
 def _ppcr_solve_impl(factors: PPCRFactors, rhs: TF, interpret=None,
@@ -611,8 +897,11 @@ def _bcast_leaves(tree, flags, B):
 
 
 @jax.custom_batching.custom_vmap
-def _ppcr_factor_vmappable(D: TF, U: TF) -> PPCRFactors:
-    return _ppcr_factor_impl(D, U, None)
+def _ppcr_factor_vmappable(D: TF, U: TF):
+    # unbatched: compaction on (the production single-solve path); the
+    # vmap rule below stays on plain PCR — its per-trial unfold assumes
+    # one lane width across factor leaves
+    return _ppcr_factor_impl(D, U, None, compact=True)
 
 
 @_ppcr_factor_vmappable.def_vmap
@@ -636,12 +925,19 @@ def _ppcr_factor_vmap_rule(axis_size, in_batched, D, U):
 
 
 @jax.custom_batching.custom_vmap
-def _ppcr_solve_vmappable(factors: PPCRFactors, rhs: TF) -> TF:
+def _ppcr_solve_vmappable(factors, rhs: TF) -> TF:
+    if isinstance(factors, CRFactors):
+        return _cr_solve_impl(factors, rhs, None)
     return _ppcr_solve_impl(factors, rhs, None)
 
 
 @_ppcr_solve_vmappable.def_vmap
 def _ppcr_solve_vmap_rule(axis_size, in_batched, factors, rhs):
+    if isinstance(factors, CRFactors):
+        raise NotImplementedError(
+            "vmapped band solves take plain PPCRFactors (the factor vmap "
+            "rule never produces CRFactors); factor inside the same vmap"
+        )
     B = axis_size
     factors = _bcast_leaves(factors, in_batched[0], B)
     rhs = _bcast_leaves(rhs, in_batched[1], B)
@@ -661,19 +957,25 @@ def _ppcr_solve_vmap_rule(axis_size, in_batched, factors, rhs):
     return out, jax.tree_util.tree_map(lambda _: True, out)
 
 
-def ppcr_factor_pallas(D: TF, U: TF, interpret=None) -> PPCRFactors:
+def ppcr_factor_pallas(D: TF, U: TF, interpret=None):
     """Public factor entry: vmappable (batch folds into the chain axis).
-    An explicit ``interpret`` bypasses the custom_vmap wrapper (tests)."""
+    Unbatched calls return :class:`CRFactors` (compaction preamble +
+    PCR base) when `_cr_schedule` finds room; vmapped calls stay on
+    plain :class:`PPCRFactors`. An explicit ``interpret`` bypasses the
+    custom_vmap wrapper (tests)."""
     if interpret is None:
         return _ppcr_factor_vmappable(D, U)
-    return _ppcr_factor_impl(D, U, interpret)
+    return _ppcr_factor_impl(D, U, interpret, compact=True)
 
 
-def ppcr_solve_pallas(factors: PPCRFactors, rhs: TF, interpret=None) -> TF:
+def ppcr_solve_pallas(factors, rhs: TF, interpret=None) -> TF:
     """Public solve entry: vmappable (batch folds into the chain axis).
-    An explicit ``interpret`` bypasses the custom_vmap wrapper (tests)."""
+    Accepts either factors type. An explicit ``interpret`` bypasses the
+    custom_vmap wrapper (tests)."""
     if interpret is None:
         return _ppcr_solve_vmappable(factors, rhs)
+    if isinstance(factors, CRFactors):
+        return _cr_solve_impl(factors, rhs, interpret)
     return _ppcr_solve_impl(factors, rhs, interpret)
 
 

@@ -64,6 +64,7 @@ import os
 from score_tpu.ops import twofloat as tfm
 from score_tpu.ops.twofloat import TF
 from score_tpu.ops.pallas_pcr import (
+    CRFactors,
     PPCRFactors,
     SegPPCRFactors,
     ppcr_factor_pallas,
@@ -599,53 +600,89 @@ def _use_pallas_pcr() -> bool:
     return jax.default_backend() == "tpu"
 
 
-def _shmap_ppcr_factor(st, D: TF, U: TF) -> PPCRFactors:
+def _shmap_n_dev(st) -> int:
+    return int(st.shard_mesh.shape[st.shard_axis])
+
+
+def _local_shapes(tree, n_dev):
+    """Per-device ShapeDtypeStructs of a chain-leading tree (axis 0 sharded)."""
+    return jax.tree_util.tree_map(
+        lambda a: jax.ShapeDtypeStruct(
+            (a.shape[0] // n_dev,) + a.shape[1:], a.dtype
+        ),
+        tree,
+    )
+
+
+def _factor_specs(st, D: TF, U: TF):
+    """Lane-axis PartitionSpec tree for the band factors, built from the
+    factor entry's abstract output on PER-DEVICE shapes — every factor
+    leaf (plain PCR or compacting-CR, any level width) is lane-major
+    with chain-contiguous lanes, so the last axis shards on the chain
+    mesh axis."""
+    from jax.sharding import PartitionSpec as P
+
+    n_dev = _shmap_n_dev(st)
+    shapes = jax.eval_shape(
+        lambda d, u: ppcr_factor_pallas(d, u),
+        _local_shapes(D, n_dev), _local_shapes(U, n_dev),
+    )
+    spec_l = P(None, None, st.shard_axis)
+    return jax.tree_util.tree_map(lambda _: spec_l, shapes)
+
+
+def _shmap_ppcr_factor(st, D: TF, U: TF):
     """Chain-sharded Pallas band factorization: each device runs the
     gridless kernels on its local (C/n_dev)-chain slice. Factor outputs
-    are lane-major (L*Db, Db, C*T) with chain-contiguous lanes, so the
-    lane axis is sharded on the same mesh axis; the matching solve
-    wrapper consumes them without any resharding."""
+    are lane-major with chain-contiguous lanes, so the lane axis is
+    sharded on the same mesh axis; the matching solve wrapper consumes
+    them without any resharding."""
     from jax.sharding import PartitionSpec as P
 
     spec_c = P(st.shard_axis)
-    spec_l = P(None, None, st.shard_axis)
     return jax.shard_map(
         lambda d, u: ppcr_factor_pallas(d, u),
         mesh=st.shard_mesh,
         in_specs=(spec_c, spec_c),
-        out_specs=PPCRFactors(E=spec_l, F=spec_l, invD=spec_l),
+        out_specs=_factor_specs(st, D, U),
         # pallas_call out_shapes carry no vma info on this jax version
         check_vma=False,
     )(D, U)
 
 
-def _shmap_ppcr_solve(st, factors: PPCRFactors, rhs: TF) -> TF:
+def _shmap_ppcr_solve(st, factors, rhs: TF) -> TF:
     from jax.sharding import PartitionSpec as P
 
     spec_c = P(st.shard_axis)
     spec_l = P(None, None, st.shard_axis)
+    fac_spec = jax.tree_util.tree_map(lambda _: spec_l, factors)
     return jax.shard_map(
         lambda f, r: ppcr_solve_pallas(f, r),
         mesh=st.shard_mesh,
-        in_specs=(PPCRFactors(E=spec_l, F=spec_l, invD=spec_l), spec_c),
+        in_specs=(fac_spec, spec_c),
         out_specs=spec_c,
         check_vma=False,
     )(factors, rhs)
 
 
-def _seg_specs(st):
-    """(in/out) PartitionSpec prefix trees for SegPPCRFactors: every
-    component of a segmented factorization is chain-local — interior
-    factors are lane-major with chain-contiguous lanes (axis 2), the
-    Z panels / interface chain / coupling blocks carry a leading chain
-    axis — so all of it shards on the structure's chain mesh axis."""
+def _seg_specs(st, seg_struct: SegPPCRFactors):
+    """(chain, factor) PartitionSpec trees for a SegPPCRFactors
+    structure (arrays or ShapeDtypeStructs): every component of a
+    segmented factorization is chain-local — interior factors (plain
+    PCR or compacting-CR, any level count) are lane-major with
+    chain-contiguous lanes (last axis), the Z panels / interface chain /
+    coupling blocks carry a leading chain axis — so all of it shards on
+    the structure's chain mesh axis."""
     from jax.sharding import PartitionSpec as P
 
     spec_c = P(st.shard_axis)
     spec_l = P(None, None, st.shard_axis)
+    tm = jax.tree_util.tree_map
     return spec_c, SegPPCRFactors(
-        interior=PPCRFactors(E=spec_l, F=spec_l, invD=spec_l),
-        ZL=spec_c, ZR=spec_c, iface=spec_c, UgL=spec_c, UmR=spec_c,
+        interior=tm(lambda _: spec_l, seg_struct.interior),
+        ZL=spec_c, ZR=spec_c,
+        iface=tm(lambda _: spec_c, seg_struct.iface),
+        UgL=spec_c, UmR=spec_c,
     )
 
 
@@ -654,7 +691,12 @@ def _shmap_seg_factor(st, D: TF, U: TF, Ts: int) -> SegPPCRFactors:
     SPIKE-style substructuring of ops/pallas_pcr.py is per-chain, so each
     device factors its local chain slice (interior kernels + its own
     interface chains) with zero collectives."""
-    spec_c, spec_f = _seg_specs(st)
+    n_dev = _shmap_n_dev(st)
+    shapes = jax.eval_shape(
+        lambda d, u: seg_factor_pallas(d, u, Ts),
+        _local_shapes(D, n_dev), _local_shapes(U, n_dev),
+    )
+    spec_c, spec_f = _seg_specs(st, shapes)
     return jax.shard_map(
         lambda d, u: seg_factor_pallas(d, u, Ts),
         mesh=st.shard_mesh,
@@ -665,7 +707,7 @@ def _shmap_seg_factor(st, D: TF, U: TF, Ts: int) -> SegPPCRFactors:
 
 
 def _shmap_seg_solve(st, factors: SegPPCRFactors, rhs: TF) -> TF:
-    spec_c, spec_f = _seg_specs(st)
+    spec_c, spec_f = _seg_specs(st, factors)
     return jax.shard_map(
         seg_solve_pallas,
         mesh=st.shard_mesh,
@@ -1245,7 +1287,7 @@ class ChainArrowBackend:
                 w = tfm.to_f64(
                     seg_solve_pallas(factors.pcr, tfm.from_f64(rp))
                 ).astype(dtype)[..., 0]
-        elif isinstance(factors.pcr, PPCRFactors):
+        elif isinstance(factors.pcr, (PPCRFactors, CRFactors)):
             if st.shard_mesh is not None:
                 w = tfm.to_f64(
                     _shmap_ppcr_solve(st, factors.pcr, tfm.from_f64(rp))

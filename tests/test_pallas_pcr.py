@@ -76,11 +76,18 @@ def test_pallas_pcr_single_block():
     assert np.max(np.abs(x[0] - xref)) / np.max(np.abs(xref)) < 1e-6
 
 
-def test_pallas_pcr_vmap_folds_batch_into_lanes():
+def test_pallas_pcr_vmap_folds_batch_into_lanes(monkeypatch):
     """The custom_vmap rules fold a batch of trials into the chain-lane
     axis (parallel/batch.py's mixed-band path); results must match
     per-trial unbatched calls."""
     import jax
+
+    # pin compaction OFF so single and vmapped calls run the identical
+    # elimination order (CR differs from PCR at roundoff on odd rows) —
+    # keeps the 1e-9 parity bound meaningful under any env override
+    from score_tpu.ops import pallas_pcr as pp
+
+    monkeypatch.setattr(pp, "_CR_MIN_LANES", 1 << 30)
 
     T, Db, B, C = 8, 3, 3, 2
     rng = np.random.default_rng(7)
@@ -104,6 +111,91 @@ def test_pallas_pcr_vmap_folds_batch_into_lanes():
     for b in range(B):
         single = np.asarray(solve_one(Db_[b], Ub_[b], Rb_[b]))
         assert np.max(np.abs(batched[b] - single)) < 1e-9, b
+
+
+def test_cr_compaction_matches_dense(monkeypatch):
+    """Compacting-CR preamble (lane width halves per level, shift stays
+    1, base PCR on the remainder): active once the chunk width clears
+    the (patched) lane floor, exact same solutions as dense."""
+    from score_tpu.ops import pallas_pcr as pp
+
+    monkeypatch.setattr(pp, "_CR_MIN_LANES", 4)
+    T, Db = 32, 3
+    D, U = _block_tridiag(T, Db, 11)
+    rhs = np.random.default_rng(12).standard_normal((T, Db, 2))
+    fac = ppcr_factor_pallas(
+        tfm.from_f64(jnp.asarray(D[None])), tfm.from_f64(jnp.asarray(U[None])),
+        interpret=True,
+    )
+    assert isinstance(fac, pp.CRFactors) and len(fac.levels) >= 2
+    x = np.asarray(tfm.to_f64(ppcr_solve_pallas(
+        fac, tfm.from_f64(jnp.asarray(rhs[None])), interpret=True
+    )))[0]
+    K = _dense(D, U)
+    xref = np.linalg.solve(K, rhs.reshape(T * Db, 2))
+    err = np.max(np.abs(x.reshape(T * Db, 2) - xref)) / np.max(np.abs(xref))
+    assert err < 1e-6, err
+    # and against the non-compacted PCR path on the same inputs
+    fac0 = pp._ppcr_factor_impl(
+        tfm.from_f64(jnp.asarray(D[None])), tfm.from_f64(jnp.asarray(U[None])),
+        interpret=True, compact=False,
+    )
+    x0 = np.asarray(tfm.to_f64(pp._ppcr_solve_impl(
+        fac0, tfm.from_f64(jnp.asarray(rhs[None])), interpret=True
+    )))[0]
+    # paths differ in odd-row treatment (back-substitution vs continued
+    # reduction): agreement is roundoff-grade, f32-grade on CPU (see
+    # module docstring on XLA:CPU FMA contraction)
+    assert np.max(np.abs(x - x0)) < 1e-7
+
+
+def test_cr_compaction_multichain_chunked(monkeypatch):
+    """CR with chain padding + multiple lane chunks (forced group=2 over
+    3 chains): per-chunk compaction, per-level lane slicing in the
+    solve, identity-pad chains inert."""
+    from score_tpu.ops import pallas_pcr as pp
+
+    monkeypatch.setattr(pp, "_CR_MIN_LANES", 4)
+    T, Db, C = 8, 3, 3
+    chains = [_block_tridiag(T, Db, 20 + c) for c in range(C)]
+    D = np.stack([c[0] for c in chains])
+    U = np.stack([c[1] for c in chains])
+    rhs = np.random.default_rng(21).standard_normal((C, T, Db, 2))
+    fac = pp._ppcr_factor_impl(
+        tfm.from_f64(jnp.asarray(D)), tfm.from_f64(jnp.asarray(U)),
+        interpret=True, group=2, compact=True,
+    )
+    assert isinstance(fac, pp.CRFactors) and len(fac.levels) >= 1
+    x = np.asarray(tfm.to_f64(pp._cr_solve_impl(
+        fac, tfm.from_f64(jnp.asarray(rhs)), interpret=True, group=2
+    )))
+    for c in range(C):
+        K = _dense(D[c], U[c])
+        xref = np.linalg.solve(K, rhs[c].reshape(T * Db, 2))
+        err = np.max(np.abs(x[c].reshape(T * Db, 2) - xref)) / np.max(
+            np.abs(xref)
+        )
+        assert err < 1e-6, (c, err)
+
+
+def test_cr_compaction_illconditioned(monkeypatch):
+    from score_tpu.ops import pallas_pcr as pp
+
+    monkeypatch.setattr(pp, "_CR_MIN_LANES", 4)
+    T, Db = 32, 4
+    D, U = _block_tridiag(T, Db, 2, cond=1e8)
+    rhs = np.random.default_rng(3).standard_normal((T, Db, 1))
+    fac = ppcr_factor_pallas(
+        tfm.from_f64(jnp.asarray(D[None])), tfm.from_f64(jnp.asarray(U[None])),
+        interpret=True,
+    )
+    assert isinstance(fac, pp.CRFactors)
+    x = np.asarray(tfm.to_f64(ppcr_solve_pallas(
+        fac, tfm.from_f64(jnp.asarray(rhs[None])), interpret=True
+    )))[0].reshape(-1)
+    K = _dense(D, U)
+    xref = np.linalg.solve(K, rhs.reshape(-1))
+    assert np.linalg.norm(x - xref) / np.linalg.norm(xref) < 2e-4
 
 
 def test_segmented_band_matches_dense():
