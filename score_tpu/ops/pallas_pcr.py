@@ -671,6 +671,37 @@ def _cr_solve_impl(factors: CRFactors, rhs: TF, interpret=None,
     Corig, C = C, CT // T
     if group is None:
         group = _chunk_group(C, T, Db)
+    extra = (-C) % group
+    if extra:
+        # factors whose lane padding was stripped (the custom_vmap rules
+        # return per-trial views): restore chunk alignment with
+        # decoupled identity chains (identity at every CR level: E=F=0
+        # so reductions add nothing, invD=I / A=C=0 so back-substitution
+        # passes the — zero — rhs through) + zero rhs
+        cat = lambda a, p: jnp.concatenate([a, p], -1)
+        lv_padded = []
+        for l in range(n_cr):
+            w = extra * (T >> (l + 1))
+            z = jnp.zeros((Db, Db, w), jnp.float32)
+            eye = jnp.broadcast_to(
+                jnp.eye(Db, dtype=jnp.float32)[:, :, None], (Db, Db, w)
+            )
+            pad = CRLevel(E=TF(z, z), F=TF(z, z), invD=TF(eye, z),
+                          A=TF(z, z), C=TF(z, z))
+            lv_padded.append(
+                jax.tree_util.tree_map(cat, factors.levels[l], pad)
+            )
+        base_pad = _identity_factor_lanes(
+            factors.base.E.hi.shape[0], Db, extra * (T >> n_cr)
+        )
+        factors = CRFactors(
+            levels=tuple(lv_padded),
+            base=jax.tree_util.tree_map(cat, factors.base, base_pad),
+        )
+        z = jnp.zeros((extra, T, Db, K), jnp.float32)
+        rhs = TF(jnp.concatenate([rhs.hi, z]), jnp.concatenate([rhs.lo, z]))
+        C += extra
+        CT = C * T
     CTc = group * T
     CTb = CTc >> n_cr
     Tb = T >> n_cr
@@ -898,9 +929,6 @@ def _bcast_leaves(tree, flags, B):
 
 @jax.custom_batching.custom_vmap
 def _ppcr_factor_vmappable(D: TF, U: TF):
-    # unbatched: compaction on (the production single-solve path); the
-    # vmap rule below stays on plain PCR — its per-trial unfold assumes
-    # one lane width across factor leaves
     return _ppcr_factor_impl(D, U, None, compact=True)
 
 
@@ -913,13 +941,29 @@ def _ppcr_factor_vmap_rule(axis_size, in_batched, D, U):
     fold = lambda a: a.reshape((B * C,) + a.shape[2:])
     # the impl pads the folded chain count to its own (budget-sized)
     # chunk group with identity chains; slice those off before the
-    # per-trial unfold (lane order is trial-major: chain = b*C + c)
+    # per-trial unfold (lane order is trial-major: chain = b*C + c).
+    # Compaction composes with the fold: every factor leaf is lane-major
+    # with chain-contiguous (hence trial-contiguous) lanes, just at a
+    # level-dependent width W = padded_fine >> k — stride-2 halving
+    # preserves trial-major order because T is a power of two — so each
+    # leaf unfolds by its own width ratio (pad chains sit at the end at
+    # every level: proportional prefix slice drops them).
     f = _ppcr_factor_impl(
-        TF(fold(D.hi), fold(D.lo)), TF(fold(U.hi), fold(U.lo)), None
+        TF(fold(D.hi), fold(D.lo)), TF(fold(U.hi), fold(U.lo)), None,
+        compact=True,
     )
-    unfold = lambda a: jnp.moveaxis(
-        a[..., : B * C * T].reshape(a.shape[0], a.shape[1], B, C * T), 2, 0
+    padded_fine = (
+        f.base.invD.hi.shape[-1] << len(f.levels)
+        if isinstance(f, CRFactors) else f.invD.hi.shape[-1]
     )
+
+    def unfold(a):
+        keep = (B * C * T * a.shape[-1]) // padded_fine
+        return jnp.moveaxis(
+            a[..., :keep].reshape(a.shape[0], a.shape[1], B, keep // B),
+            2, 0,
+        )
+
     out = jax.tree_util.tree_map(unfold, f)
     return out, jax.tree_util.tree_map(lambda _: True, out)
 
@@ -933,15 +977,26 @@ def _ppcr_solve_vmappable(factors, rhs: TF) -> TF:
 
 @_ppcr_solve_vmappable.def_vmap
 def _ppcr_solve_vmap_rule(axis_size, in_batched, factors, rhs):
-    if isinstance(factors, CRFactors):
-        raise NotImplementedError(
-            "vmapped band solves take plain PPCRFactors (the factor vmap "
-            "rule never produces CRFactors); factor inside the same vmap"
-        )
     B = axis_size
     factors = _bcast_leaves(factors, in_batched[0], B)
     rhs = _bcast_leaves(rhs, in_batched[1], B)
     _, C, T, Db, K = rhs.hi.shape
+    if isinstance(factors, CRFactors):
+        # refold each leaf at its own width (trial-major lane order) and
+        # let _cr_solve_impl's identity padding restore chunk alignment
+        fold_f = lambda a: jnp.moveaxis(a, 0, 2).reshape(
+            a.shape[1], a.shape[2], -1
+        )
+        ff = jax.tree_util.tree_map(fold_f, factors)
+        rf = TF(
+            rhs.hi.reshape((B * C,) + rhs.hi.shape[2:]),
+            rhs.lo.reshape((B * C,) + rhs.lo.shape[2:]),
+        )
+        x = _cr_solve_impl(ff, rf, None)
+        out = jax.tree_util.tree_map(
+            lambda a: a.reshape((B, C) + a.shape[1:]), x
+        )
+        return out, jax.tree_util.tree_map(lambda _: True, out)
     CT = factors.invD.hi.shape[-1]  # per-trial lane count (= C*T)
     fold_f = lambda a: jnp.moveaxis(a, 0, 2).reshape(
         a.shape[1], a.shape[2], B * CT
@@ -959,9 +1014,10 @@ def _ppcr_solve_vmap_rule(axis_size, in_batched, factors, rhs):
 
 def ppcr_factor_pallas(D: TF, U: TF, interpret=None):
     """Public factor entry: vmappable (batch folds into the chain axis).
-    Unbatched calls return :class:`CRFactors` (compaction preamble +
-    PCR base) when `_cr_schedule` finds room; vmapped calls stay on
-    plain :class:`PPCRFactors`. An explicit ``interpret`` bypasses the
+    Returns :class:`CRFactors` (compaction preamble + PCR base) when
+    `_cr_schedule` finds room — under vmap the schedule sees the FOLDED
+    lane width, so Monte-Carlo batches compact too — else plain
+    :class:`PPCRFactors`. An explicit ``interpret`` bypasses the
     custom_vmap wrapper (tests)."""
     if interpret is None:
         return _ppcr_factor_vmappable(D, U)

@@ -198,6 +198,47 @@ def test_cr_compaction_illconditioned(monkeypatch):
     assert np.linalg.norm(x - xref) / np.linalg.norm(xref) < 2e-4
 
 
+def test_cr_compaction_vmapped(monkeypatch):
+    """Compaction composes with the batch fold: under vmap the schedule
+    sees the FOLDED lane width, the factor rule returns (batched)
+    CRFactors with level-dependent leaf widths, and the solve rule
+    refolds them per leaf — with B*C=6 chains at a chunk group of 16 the
+    identity re-padding path is exercised too. Per-trial results must
+    match dense solves; base_T compacts all the way to 1 here."""
+    import jax
+
+    from score_tpu.ops import pallas_pcr as pp
+
+    monkeypatch.setattr(pp, "_CR_MIN_LANES", 4)
+    T, Db, B, C = 8, 3, 3, 2
+    rng = np.random.default_rng(31)
+    Ds, Us, Rs = [], [], []
+    for b in range(B):
+        chains = [_block_tridiag(T, Db, 40 + 10 * b + c) for c in range(C)]
+        Ds.append(np.stack([c[0] for c in chains]))
+        Us.append(np.stack([c[1] for c in chains]))
+        Rs.append(rng.standard_normal((C, T, Db, 2)))
+    Db_, Ub_, Rb_ = (jnp.asarray(np.stack(a)) for a in (Ds, Us, Rs))
+
+    facs = jax.vmap(
+        lambda D, U: ppcr_factor_pallas(tfm.from_f64(D), tfm.from_f64(U))
+    )(Db_, Ub_)
+    assert isinstance(facs, pp.CRFactors) and len(facs.levels) >= 2
+    # level leaves carry a leading trial axis and halving lane widths
+    w0 = facs.levels[0].E.hi.shape
+    assert w0[0] == B and w0[-1] == C * T // 2, w0
+
+    x = np.asarray(tfm.to_f64(jax.vmap(ppcr_solve_pallas)(
+        facs, tfm.from_f64(Rb_)
+    )))
+    for b in range(B):
+        for c in range(C):
+            K = _dense(Ds[b][c], Us[b][c])
+            xref = np.linalg.solve(K, Rs[b][c].reshape(T * Db, 2))
+            err = np.max(np.abs(x[b, c].reshape(T * Db, 2) - xref))
+            assert err / np.max(np.abs(xref)) < 1e-6, (b, c, err)
+
+
 def test_segmented_band_matches_dense():
     """SPIKE-style substructuring (the 3D fast path for chains whose
     Db*Db*T exceeds the per-kernel VMEM budget): interiors through the

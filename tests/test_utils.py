@@ -175,6 +175,17 @@ class TestPlots:
         plot_error(fg, res, show=False, save_path=out, color_dist_circles=True)
         assert os.path.exists(out)
 
+        # GIF export (regenerates the reference's media/*_animation.gif
+        # artifacts headlessly): a multi-frame animated GIF is written
+        gif = str(tmp_path / "anim.gif")
+        plot_error(
+            fg, res, show=False, save_animation_path=gif, num_frames_skip=4
+        )
+        from PIL import Image
+
+        with Image.open(gif) as im:
+            assert im.format == "GIF" and getattr(im, "n_frames", 1) >= 2
+
 
 class TestTUMExport:
     def test_save_to_tum_multi_robot(self, manhattan_fg, tmp_path):
