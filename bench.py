@@ -33,6 +33,60 @@ import traceback
 CPU_DENSE_BASELINE_SECONDS = 55.2  # dense-KKT IPM via solve_score, JAX_PLATFORMS=cpu, f64
 
 
+def _ensure_backend_reachable() -> str:
+    """Probe the TPU tunnel from a throwaway subprocess; fall back to CPU
+    if it is unreachable.
+
+    The axon pool is single-client and can wedge for hours (backend init
+    hangs or fails UNAVAILABLE — see CLAUDE.md). A bench run launched into
+    a wedged pool would hang at init and produce NO artifact, so before
+    importing jax in this process we jit a trivial kernel in a subprocess
+    under a timeout. On failure we clear ``PALLAS_AXON_POOL_IPS`` (required
+    — ``JAX_PLATFORMS=cpu`` alone is overridden by the plugin) so the whole
+    bench runs on the CPU chain+arrow path instead of hanging. Returns the
+    platform string recorded in the primary metric line.
+    """
+    if not os.environ.get("PALLAS_AXON_POOL_IPS"):
+        return "cpu"
+    timeout_s = float(os.environ.get("SCORE_TPU_PROBE_TIMEOUT", "300"))
+    import subprocess
+
+    code = (
+        "import jax, jax.numpy as jnp;"
+        "x = jax.jit(lambda a: a*2+1)(jnp.ones((8,128)));"
+        "print('PROBE_OK', float(x.ravel()[0]), jax.default_backend())"
+    )
+    try:
+        out = subprocess.run(
+            [sys.executable, "-c", code],
+            timeout=timeout_s, capture_output=True, text=True,
+        )
+        if "PROBE_OK" in out.stdout:
+            return out.stdout.split()[-1].strip()
+    except subprocess.TimeoutExpired:
+        pass
+    print(
+        "TPU probe failed/timed out — falling back to CPU (primary metric "
+        "will carry platform='cpu')",
+        file=sys.stderr, flush=True,
+    )
+    # The axon sitecustomize registers the PJRT plugin (and imports jax)
+    # at interpreter startup, so mutating os.environ here is too late —
+    # this process would still try to initialize the wedged backend.
+    # Re-exec with a clean environment instead; the cleared POOL_IPS makes
+    # the probe in the fresh process return "cpu" immediately.
+    env = dict(os.environ)
+    env["PALLAS_AXON_POOL_IPS"] = ""
+    env["JAX_PLATFORMS"] = "cpu"
+    # CPU extras are minutes-slow; keep the artifact timely unless the
+    # caller explicitly asked for the full table.
+    env.setdefault("SCORE_TPU_BENCH_QUICK", "1")
+    sys.stderr.flush()
+    sys.stdout.flush()
+    os.execve(sys.executable, [sys.executable] + sys.argv, env)
+    return "cpu"  # unreachable
+
+
 def _emit(obj, primary=False):
     line = json.dumps(obj)
     print(line, file=sys.stderr, flush=True)
@@ -60,7 +114,7 @@ def bench_solve_score(fg, relaxation, params, repeats=3):
     return min(times), res, times
 
 
-def run_primary():
+def run_primary(platform):
     from score_tpu.api import ScoreSolverParams
     from score_tpu.datasets import goats_pickle_path
     from score_tpu.fg import parse_pickle_file
@@ -79,6 +133,7 @@ def run_primary():
             "relgap": float(f"{rg:.3e}"),
             "iterations": res.iterations,
             "times": [round(t, 3) for t in times],
+            "platform": platform,
         },
         primary=True,
     )
@@ -216,6 +271,7 @@ def run_extras(goats_fg):
 
 
 def main() -> None:
+    platform = _ensure_backend_reachable()
     # host assembly is ~3x faster through the native extension; build it
     # on first use (best-effort — the pure-python fallback is correct)
     try:
@@ -228,7 +284,7 @@ def main() -> None:
             check=False, capture_output=True,
         )
 
-    goats_fg = run_primary()
+    goats_fg = run_primary(platform)
     if os.environ.get("SCORE_TPU_BENCH_QUICK") != "1":
         try:
             run_extras(goats_fg)
