@@ -2,7 +2,13 @@
 """Solve the 4-robot Manhattan-world dataset shipped with the reference
 (SURVEY.md §6: 1600 poses, 6 landmarks, 1160 ranges incl. inter-robot).
 
-Usage: python examples/solve_manhattan_example.py [SOCP|QCQP]
+Usage: python examples/solve_manhattan_example.py [SOCP|QCQP] [--gif]
+
+``--gif`` additionally renders the animated error plot to
+examples/out/manhattan4_<relaxation>.gif — the analogue of the
+reference's headline media/4robot_animation.gif (produced there by the
+plot_utils.py:83-187 frame loop). Rendering is headless and takes a few
+minutes at 1600 poses; pass nothing to skip it.
 """
 
 import os
@@ -22,7 +28,9 @@ OUT_DIR = os.path.join(os.path.dirname(__file__), "out")
 
 
 def main() -> None:
-    relaxation = sys.argv[1] if len(sys.argv) > 1 else "SOCP"
+    args = [a for a in sys.argv[1:] if a != "--gif"]
+    want_gif = "--gif" in sys.argv[1:]
+    relaxation = args[0] if args else "SOCP"
     fg = parse_pickle_file(DATA_PATH)
     print(fg.summary())
     result = solve_score(fg, relaxation, ScoreSolverParams(verbose=True))
@@ -39,6 +47,13 @@ def main() -> None:
         save_path=os.path.join(OUT_DIR, f"manhattan4_{relaxation}.png"),
         title=f"Manhattan 4-robot {relaxation} initialization",
     )
+    if want_gif:
+        from score_tpu.utils.plot import plot_error
+
+        gif = os.path.join(OUT_DIR, f"manhattan4_{relaxation}.gif")
+        plot_error(fg, result, show=False, save_animation_path=gif,
+                   num_frames_skip=10)
+        print(f"wrote {gif}")
 
 
 if __name__ == "__main__":
