@@ -284,7 +284,23 @@ def main() -> None:
             check=False, capture_output=True,
         )
 
-    goats_fg = run_primary(platform)
+    try:
+        goats_fg = run_primary(platform)
+    except Exception:
+        # Safety net for the newest kernel-path feature (compacting CR):
+        # if the Mosaic compile or the accuracy assert fails, disable
+        # compaction (call-time env knob), drop the traced/compiled
+        # caches, and retry the primary once on the plain-PCR path.
+        traceback.print_exc()
+        print(
+            "primary failed — retrying once with CR compaction disabled",
+            file=sys.stderr, flush=True,
+        )
+        os.environ["SCORE_TPU_CR_MIN_LANES"] = str(1 << 30)
+        import jax
+
+        jax.clear_caches()
+        goats_fg = run_primary(platform)
     if os.environ.get("SCORE_TPU_BENCH_QUICK") != "1":
         try:
             run_extras(goats_fg)

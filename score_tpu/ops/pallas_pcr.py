@@ -141,16 +141,24 @@ class CRFactors(NamedTuple):
 
 # Compact while the next level still fills this many lanes (the Mosaic
 # lane-alignment floor); module-level so interpret-mode tests can drop
-# it to exercise compaction on tiny chains, env-overridable so perf
-# A/B runs can disable compaction (set it huge) without code edits.
-_CR_MIN_LANES = int(os.environ.get("SCORE_TPU_CR_MIN_LANES", 128))
+# it to exercise compaction on tiny chains. The env override is read at
+# call time (not import) so a caller can disable compaction and retrace
+# (jax.clear_caches()) without restarting the process — bench.py uses
+# this as a safety net to retry a failed solve with compaction off.
+_CR_MIN_LANES = 128
+
+
+def _cr_min_lanes() -> int:
+    env = os.environ.get("SCORE_TPU_CR_MIN_LANES")
+    return int(env) if env else _CR_MIN_LANES
 
 
 def _cr_schedule(T: int, lanes: int) -> int:
     """Number of compaction levels for chains of length T in chunks of
     ``lanes`` total lanes (both powers of two)."""
     n = 0
-    while (T >> n) >= 2 and (lanes >> (n + 1)) >= _CR_MIN_LANES:
+    floor = _cr_min_lanes()
+    while (T >> n) >= 2 and (lanes >> (n + 1)) >= floor:
         n += 1
     return n
 
