@@ -271,6 +271,26 @@ class TestManyRobots:
         with pytest.raises(ValueError):
             fg2.add_landmark_variable(LandmarkVariable2D("X0", (0.0, 0.0)))
 
+    def test_multi_letter_names_past_25_robots(self):
+        from score_tpu.sim.manhattan import _robot_name
+
+        names = [_robot_name(r) for r in range(80)]
+        assert len(set(names)) == 80
+        assert names[24] == "Z" and names[25] == "AA"
+        assert all("L" not in n for n in names)
+        fg = simulate_manhattan_world(
+            ManhattanWorldParams(
+                num_robots=28,
+                num_poses_per_robot=3,
+                num_landmarks=2,
+                grid_size=6,
+                range_measure_prob=0.6,
+                seed=3,
+            )
+        )
+        assert len(fg.pose_variables) == 28
+        assert fg.pose_variables[27][0].name.startswith("AC")
+
     def test_13_robot_world_converges_and_matches_dense(self):
         fg = simulate_manhattan_world(
             ManhattanWorldParams(
