@@ -141,11 +141,19 @@ def variable_values_from_x(
     """Recover named variable values from the flat solution vector: batched
     SVD rounding of every rotation block, homogenization, landmark and
     distance extraction (semantics parity: gurobi_utils.py:114-136)."""
-    d = idx.dim
     xj = jnp.asarray(x)
-    T = np.asarray(_round_poses_jit(xj, idx.num_poses, d))
+    T = np.asarray(_round_poses_jit(xj, idx.num_poses, idx.dim))
+    return _values_from_host(np.asarray(x), T, idx)
+
+
+def _values_from_host(
+    xnp: np.ndarray, T: np.ndarray, idx: VariableIndex
+) -> VariableValues:
+    """Assemble the named VariableValues dicts from host-side arrays (the
+    flat solution and the already-rounded homogeneous pose matrices) —
+    no device calls."""
+    d = idx.dim
     poses = {name: T[i] for i, name in enumerate(idx.pose_names)}
-    xnp = np.asarray(x)
     landmarks = {
         name: xnp[idx.landmark_cols(i)] for i, name in enumerate(idx.landmark_names)
     }
@@ -165,15 +173,20 @@ def variable_values_from_x(
     return VariableValues(dim=d, poses=poses, landmarks=landmarks, distances=distances)
 
 
-@_jax.jit
-def _pack_scalars(iters, status, pobj, gap, pres, dres):
-    # one device buffer for all the telemetry scalars: each separate
-    # float() would be its own host roundtrip through the axon tunnel
+@functools.partial(_jax.jit, static_argnums=(7, 8))
+def _extract_packed(x, iters, status, pobj, gap, pres, dres,
+                    num_poses: int, dim: int):
+    # ONE device buffer for everything extraction needs — telemetry
+    # scalars, the flat solution, and the SVD-rounded homogeneous pose
+    # matrices. Each separate fetch is its own ~30 ms host roundtrip
+    # through the axon tunnel; packing turned three transfers into one.
     f = jnp.float64
-    return jnp.stack(
+    T = homogenize_batched(extract_pose_matrices(x, num_poses, dim))
+    scal = jnp.stack(
         [iters.astype(f), status.astype(f), pobj.astype(f),
          gap.astype(f), pres.astype(f), dres.astype(f)]
     )
+    return jnp.concatenate([scal, x.astype(f), T.reshape(-1).astype(f)])
 
 
 def extract_solver_results(
@@ -184,16 +197,22 @@ def extract_solver_results(
     relaxation: str,
 ) -> SolverResults:
     """Package an IPM result (parity: gurobi_utils.py:190-203)."""
-    # pass the device array through: variable_values_from_x runs the
-    # batched SVD rounding device-side and fetches once
-    values = variable_values_from_x(result.x, idx)
-    iters, status, pobj, gap, pres, dres = np.asarray(
-        _pack_scalars(
-            jnp.asarray(result.iterations), jnp.asarray(result.status),
-            jnp.asarray(result.pobj), jnp.asarray(result.gap),
-            jnp.asarray(result.pres), jnp.asarray(result.dres),
+    # the batched SVD rounding runs device-side, fused into the single
+    # packed fetch below
+    n = int(result.x.shape[-1])
+    hd = (idx.dim + 1) ** 2
+    buf = np.asarray(
+        _extract_packed(
+            jnp.asarray(result.x), jnp.asarray(result.iterations),
+            jnp.asarray(result.status), jnp.asarray(result.pobj),
+            jnp.asarray(result.gap), jnp.asarray(result.pres),
+            jnp.asarray(result.dres), idx.num_poses, idx.dim,
         )
     )
+    iters, status, pobj, gap, pres, dres = buf[:6]
+    xnp = buf[6 : 6 + n]
+    T = buf[6 + n :].reshape(idx.num_poses, idx.dim + 1, idx.dim + 1)
+    values = _values_from_host(xnp, T, idx)
     return SolverResults(
         variables=values,
         total_time=total_time,
@@ -261,10 +280,20 @@ def _data_fingerprint(data: FactorGraphData) -> tuple:
     )
 
 
-def _prepare_assembly(data, relaxation_type, params):
-    """Normalize + assemble + structure-build, memoized per factor graph.
+@functools.lru_cache(maxsize=None)
+def _prepare_jit(backend):
+    return _jax.jit(backend.prepare)
 
-    Returns (scaled_data, scale, problem, idx, backend, backend_aux)."""
+
+def _prepare_assembly(data, relaxation_type, params):
+    """Normalize + assemble + structure-build + backend prepare, memoized
+    per factor graph.
+
+    Returns (scaled_data, scale, problem, idx, backend, backend_aux,
+    prepared). `prepared` is the backend's per-solve state
+    (backend.prepare): W-independent pure problem assembly holding the
+    backend's only scatters (slow on TPU) — hoisting it here takes it out
+    of every warm solve."""
     key = (
         relaxation_type,
         params.normalize,
@@ -283,7 +312,9 @@ def _prepare_assembly(data, relaxation_type, params):
     if params.precision == "f32":
         problem = _cast_problem(problem, jnp.float32)
     backend, backend_aux = _select_backend(data, problem, idx, params)
-    entry = (scaled_data, scale, problem, idx, backend, backend_aux)
+    prepared = _prepare_jit(backend)(problem, backend_aux)
+    entry = (scaled_data, scale, problem, idx, backend, backend_aux,
+             prepared)
     if hit is None or hit[0] != fp:
         if len(_ASSEMBLY_CACHE) >= _ASSEMBLY_CACHE_MAX:
             _ASSEMBLY_CACHE.pop(next(iter(_ASSEMBLY_CACHE)))
@@ -306,32 +337,35 @@ def solve_score(
     _check_factor_graph(data)
 
     t0 = time.perf_counter()
-    scaled_data, scale, problem, idx, backend, backend_aux = (
+    scaled_data, scale, problem, idx, backend, backend_aux, prepared = (
         _prepare_assembly(data, relaxation_type, params)
     )
     warm_start = _build_warm_start(scaled_data, problem, idx, params, scale)
     result = solve_conic(
         problem, params.ipm_params(), backend=backend,
-        backend_aux=backend_aux, warm_start=warm_start,
+        backend_aux=backend_aux, warm_start=warm_start, prepared=prepared,
     )
-    result.x.block_until_ready()
+    # no block_until_ready here: it does not synchronize through the axon
+    # tunnel anyway, and the packed extraction fetch below is the sync
+    # point — total_time covers solve + extraction (one transfer).
+    results = extract_solver_results(result, idx, data, 0.0, relaxation_type)
     total_time = time.perf_counter() - t0
+    results = dataclasses.replace(results, total_time=total_time)
 
     if params.verbose:
         logger.info(
-            "solve_score(%s): status=%d iters=%d pobj=%.6e gap=%.3e "
+            "solve_score(%s): solved=%s iters=%d pobj=%.6e gap=%.3e "
             "pres=%.3e dres=%.3e time=%.3fs",
             relaxation_type,
-            int(result.status),
-            int(result.iterations),
-            float(result.pobj),
-            float(result.gap),
-            float(result.pres),
-            float(result.dres),
+            results.solved,
+            results.iterations,
+            results.primal_objective,
+            results.gap,
+            results.primal_residual,
+            results.dual_residual,
             total_time,
         )
 
-    results = extract_solver_results(result, idx, data, total_time, relaxation_type)
     results = unscale_results(results, scale)
     if params.refine:
         # downstream nonlinear refinement on the rounded initialization
@@ -368,13 +402,14 @@ def solve_problem_with_intermediate_iterates(
     # identical conditioning/precision/warm-start pipeline to solve_score:
     # snapshots are solved in normalized units and unscaled on extraction,
     # so the final snapshot IS the solve_score result
-    scaled_data, scale, problem, idx, backend, backend_aux = (
+    scaled_data, scale, problem, idx, backend, backend_aux, prepared = (
         _prepare_assembly(data, relaxation_type, params)
     )
     warm_start = _build_warm_start(scaled_data, problem, idx, params, scale)
     result, xs = solve_conic_with_iterates(
         problem, params.ipm_params(), num_iters=params.max_iter,
         backend=backend, backend_aux=backend_aux, warm_start=warm_start,
+        prepared=prepared,
     )
     xs.block_until_ready()
     total_time = time.perf_counter() - t0

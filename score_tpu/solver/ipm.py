@@ -769,14 +769,24 @@ def solve_conic(
     backend=DenseBackend,
     backend_aux=None,
     warm_start=None,
+    prepared=None,
 ) -> IPMResult:
     """Solve a ConicProblem. Fully jit-compiled; early-exits on
     convergence via `lax.while_loop` (use :func:`solve_conic_fixed` under
     vmap). ``backend_aux`` carries backend-specific static structure (e.g.
     the chain-arrow layout). ``warm_start`` may be an (x, s, z) triple —
     e.g. a checkpointed `IPMResult`'s iterate — used instead of the
-    cold-start heuristic (s/z are shifted to the cone interior)."""
-    state_ops = backend.prepare(problem, backend_aux)
+    cold-start heuristic (s/z are shifted to the cone interior).
+    ``prepared`` may carry a precomputed ``backend.prepare(problem,
+    backend_aux)`` state: prepare is W-independent (pure problem
+    assembly — it contains the backend's only scatters), so callers that
+    solve the same graph repeatedly (the api.py assembly cache, Monte-
+    Carlo re-solves, refinement loops) hoist it out of the per-solve
+    graph."""
+    state_ops = (
+        prepared if prepared is not None
+        else backend.prepare(problem, backend_aux)
+    )
 
     if problem.num_cones == 0:
         return _degenerate_no_cones(backend, problem, state_ops, params)
@@ -808,8 +818,12 @@ def _make_initial_state(backend, problem, state_ops, params,
 
 
 def _scan_solve(backend, problem, params, num_iters, record_iterates,
-                backend_aux=None, record_metrics=False, warm_start=None):
-    state_ops = backend.prepare(problem, backend_aux)
+                backend_aux=None, record_metrics=False, warm_start=None,
+                prepared=None):
+    state_ops = (
+        prepared if prepared is not None
+        else backend.prepare(problem, backend_aux)
+    )
     st0 = _make_initial_state(backend, problem, state_ops, params, warm_start)
 
     def scan_body(st, _):
@@ -899,6 +913,7 @@ def solve_conic_with_iterates(
     backend=DenseBackend,
     backend_aux=None,
     warm_start=None,
+    prepared=None,
 ) -> Tuple[IPMResult, jnp.ndarray]:
     """Like :func:`solve_conic` but records x after every iteration
     (parity with the reference's BarIterLimit iterate sweep,
@@ -908,4 +923,4 @@ def solve_conic_with_iterates(
     after convergence repeat the converged x.
     """
     return _scan_solve(backend, problem, params, num_iters, True, backend_aux,
-                       warm_start=warm_start)
+                       warm_start=warm_start, prepared=prepared)

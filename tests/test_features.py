@@ -269,3 +269,36 @@ class TestRefinementGate:
         g_g = float(r_gated.gap) / max(1.0, abs(float(r_gated.pobj)))
         g_a = float(r_always.gap) / max(1.0, abs(float(r_always.pobj)))
         assert g_g < 1e-6 and g_a < 1e-6
+
+
+class TestPreparedHoist:
+    def test_prepared_state_parity(self, rng):
+        """solve_conic with a hoisted backend.prepare state (the api.py
+        assembly cache passes one — prepare is W-independent problem
+        assembly) must produce bit-identical results to the inline path."""
+        import jax
+
+        from score_tpu.solver.chain_arrow import (
+            ChainArrowBackend,
+            build_chain_arrow,
+        )
+
+        fg = small_graph(rng, loop=True)
+        problem, idx = build_conic_problem(fg, SOCP_RELAXATION)
+        aux = build_chain_arrow(problem, idx)
+        params = IPMParams(max_iter=30)
+        r_inline = solve_conic(
+            problem, params, backend=ChainArrowBackend, backend_aux=aux
+        )
+        prepared = jax.jit(ChainArrowBackend.prepare)(problem, aux)
+        r_hoisted = solve_conic(
+            problem, params, backend=ChainArrowBackend, backend_aux=aux,
+            prepared=prepared,
+        )
+        assert int(r_inline.status) in SOLVED_STATUSES
+        assert int(r_hoisted.status) == int(r_inline.status)
+        assert int(r_hoisted.iterations) == int(r_inline.iterations)
+        np.testing.assert_array_equal(
+            np.asarray(r_hoisted.x), np.asarray(r_inline.x)
+        )
+        assert float(r_hoisted.gap) == float(r_inline.gap)
