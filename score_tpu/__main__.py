@@ -68,6 +68,15 @@ def _build_parser() -> argparse.ArgumentParser:
         help="run the downstream nonlinear refinement (the reference "
         "pipeline's GTSAM stage) on the rounded initialization",
     )
+    p.add_argument(
+        "--robust",
+        choices=("none", "huber", "gm"),
+        default="none",
+        help="robust loss on range residuals during refinement "
+        "(huber delta=30 is the measured best on the GOATS outliers)",
+    )
+    p.add_argument("--robust-delta", type=float, default=3.0,
+                   help="robust kernel width in whitened-residual units")
     p.add_argument("--tum", metavar="PATH",
                    help="write the solved trajectories in TUM format "
                    "(one file per robot chain)")
@@ -107,12 +116,20 @@ def main(argv=None) -> int:
         file=sys.stderr,
     )
 
+    refine_params = None
+    if args.refine and args.robust != "none":
+        from score_tpu.refine import RefineParams
+
+        refine_params = RefineParams(
+            robust=args.robust, robust_delta=args.robust_delta
+        )
     params = ScoreSolverParams(
         max_iter=args.max_iter,
         backend=args.backend,
         precision=args.precision,
         init_technique=args.init,
         refine=args.refine,
+        refine_params=refine_params,
         verbose=args.verbose,
     )
     results = solve_score(fg, args.relaxation, params)

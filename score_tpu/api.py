@@ -370,9 +370,12 @@ def solve_score(
     if params.refine:
         # downstream nonlinear refinement on the rounded initialization
         # (the reference pipeline's GTSAM stage, README.md:57-63)
-        from score_tpu.refine import refine_solution
+        from score_tpu.refine import RefineParams, refine_solution
 
-        refined = refine_solution(data, results.variables)
+        refined = refine_solution(
+            data, results.variables,
+            params.refine_params or RefineParams(),
+        )
         results = dataclasses.replace(
             results,
             variables=refined.values,

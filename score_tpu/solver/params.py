@@ -77,6 +77,10 @@ class ScoreSolverParams:
     # TPU-native equivalent of the reference pipeline's GTSAM stage
     # (reference README.md:57-63).
     refine: bool = False
+    # Optional score_tpu.refine.RefineParams for the refinement stage
+    # (robust range kernels etc. — huber delta=30 is the measured best
+    # on the GOATS outliers); None uses the RefineParams defaults.
+    refine_params: Optional[object] = None
 
     # KKT backend: "auto" picks the structure-exploiting chain+arrow
     # factorization (2D and 3D, loop closures and inter-robot ranges

@@ -83,6 +83,29 @@ def test_refine_through_solve_score_api():
     assert _true_cost(fg, refined.variables) <= _true_cost(fg, base.variables) + 1e-12
 
 
+def test_refine_params_passthrough_solve_score():
+    """ScoreSolverParams.refine_params reaches the refinement stage: a
+    huber-kernel refinement through the public API must differ from the
+    least-squares one when the data carries a range outlier."""
+    from score_tpu.api import ScoreSolverParams, solve_score
+    from score_tpu.refine import RefineParams
+
+    fg = _sim(seed=9)
+    fg.range_measurements[0].dist += 25.0  # gross outlier
+    r_ls = solve_score(fg, "SOCP", ScoreSolverParams(max_iter=40, refine=True))
+    r_hub = solve_score(
+        fg, "SOCP",
+        ScoreSolverParams(
+            max_iter=40, refine=True,
+            refine_params=RefineParams(robust="huber", robust_delta=3.0),
+        ),
+    )
+    assert r_ls.solved and r_hub.solved
+    a = np.asarray(list(r_ls.poses.values())[-1])
+    b = np.asarray(list(r_hub.poses.values())[-1])
+    assert not np.allclose(a, b)
+
+
 def test_refine_perturbed_groundtruth_recovers():
     # start from a perturbed ground truth on near-noiseless data: LM must
     # come back to ~the ground truth (cost near the noise floor)
