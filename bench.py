@@ -140,12 +140,10 @@ def run_primary(platform):
     return fg
 
 
-def run_extras(goats_fg):
+def extra_qcqp(goats_fg):
+    # GOATS QCQP (the reference's default relaxation)
     from score_tpu.api import ScoreSolverParams
-    from score_tpu.datasets import manhattan_pickle_path
-    from score_tpu.fg import parse_pickle_file
 
-    # --- GOATS QCQP (the reference's default relaxation) --------------
     best, res, _ = bench_solve_score(
         goats_fg, "QCQP", ScoreSolverParams(max_iter=60), repeats=2
     )
@@ -162,7 +160,13 @@ def run_extras(goats_fg):
         }
     )
 
-    # --- Manhattan 4-robot (the reference's simulated dataset) --------
+
+def extra_manhattan4(goats_fg):
+    # Manhattan 4-robot (the reference's simulated dataset)
+    from score_tpu.api import ScoreSolverParams
+    from score_tpu.datasets import manhattan_pickle_path
+    from score_tpu.fg import parse_pickle_file
+
     fg = parse_pickle_file(manhattan_pickle_path())
     best, res, _ = bench_solve_score(
         fg, "SOCP", ScoreSolverParams(max_iter=60), repeats=2
@@ -180,8 +184,11 @@ def run_extras(goats_fg):
         }
     )
 
-    # --- 20-robot 2000-pose world (reference shows it as an animation
-    # only; regenerated by the simulator — examples/large_scale...) ----
+
+def extra_robot20(goats_fg):
+    # 20-robot 2000-pose world (reference shows it as an animation only;
+    # regenerated by the simulator — examples/large_scale...)
+    from score_tpu.api import ScoreSolverParams
     from score_tpu.sim.manhattan import (
         ManhattanWorldParams,
         simulate_manhattan_world,
@@ -214,9 +221,16 @@ def run_extras(goats_fg):
         }
     )
 
-    # --- 100-trial Monte-Carlo batch (vmapped mixed band) -------------
+
+def extra_mc_batch(goats_fg):
+    # 100-trial Monte-Carlo batch (vmapped mixed band)
     import jax
     import numpy as np
+
+    from score_tpu.sim.manhattan import (
+        ManhattanWorldParams,
+        simulate_manhattan_world,
+    )
 
     from score_tpu.assembly.conic import build_conic_problem
     from score_tpu.parallel.batch import solve_conic_batch, stack_problems
@@ -302,12 +316,23 @@ def main() -> None:
         jax.clear_caches()
         goats_fg = run_primary(platform)
     if os.environ.get("SCORE_TPU_BENCH_QUICK") != "1":
-        try:
-            run_extras(goats_fg)
-        except Exception:
-            traceback.print_exc()
-            print("bench extras failed (primary metric already emitted)",
-                  file=sys.stderr)
+        # each extra is independent, with ONE retry (the remote-compile
+        # service through the tunnel fails transiently — e.g. "response
+        # body closed before all bytes were read" — and one failure must
+        # not drop the remaining workloads from the artifact)
+        for extra in (extra_qcqp, extra_manhattan4, extra_robot20,
+                      extra_mc_batch):
+            for attempt in (1, 2):
+                try:
+                    extra(goats_fg)
+                    break
+                except Exception:
+                    traceback.print_exc()
+                    print(
+                        f"bench extra {extra.__name__} failed "
+                        f"(attempt {attempt}; primary already emitted)",
+                        file=sys.stderr, flush=True,
+                    )
 
 
 if __name__ == "__main__":
