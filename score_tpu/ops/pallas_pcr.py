@@ -499,7 +499,7 @@ def _chunk_group(C: int, T: int, Db: int) -> int:
 
 
 def _ppcr_factor_impl(D: TF, U: TF, interpret=None, group=None,
-                      compact=False):
+                      compact=False, n_cr=None):
     """Factor C independent block-tridiagonal systems.
 
     D, U: TF of shape (C, T, Db, Db) (same convention as solver/pcr.py:
@@ -511,7 +511,13 @@ def _ppcr_factor_impl(D: TF, U: TF, interpret=None, group=None,
     divides the folded chain count). With ``compact`` the first
     `_cr_schedule` levels run as compacting cyclic reduction (lane width
     halves per level — ~1/log2(T) of PCR's block work) and the return
-    type is :class:`CRFactors`.
+    type is :class:`CRFactors`. ``n_cr`` overrides the compaction-level
+    count (the vmap rule passes the UNBATCHED schedule: custom_vmap
+    requires the rule's output pytree to match the primal's unbatched
+    trace, and the folded lane width would otherwise admit more levels —
+    a (100 x 4-chain, T=64) Monte-Carlo batch traced 3 levels folded vs
+    1 unbatched and failed the structure check). A forced count never
+    exceeds the folded schedule, so lane alignment still holds.
     """
     C, T, Db, _ = D.hi.shape
     if interpret is None:
@@ -528,7 +534,13 @@ def _ppcr_factor_impl(D: TF, U: TF, interpret=None, group=None,
         U = TF(jnp.concatenate([U.hi, zb]), jnp.concatenate([U.lo, zb]))
         C = C + extra
     CTc = group * T  # lanes per chunk
-    n_cr = _cr_schedule(T, CTc) if compact else 0
+    if n_cr is None:
+        n_cr = _cr_schedule(T, CTc) if compact else 0
+    else:
+        assert n_cr <= (_cr_schedule(T, CTc) if compact else 0), (
+            "forced compaction depth exceeds the feasible schedule",
+            n_cr, T, CTc,
+        )
     Tb, CTb = T >> n_cr, CTc >> n_cr  # base-case chain length / width
     levels = _num_levels(Tb)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
@@ -956,9 +968,15 @@ def _ppcr_factor_vmap_rule(axis_size, in_batched, D, U):
     # preserves trial-major order because T is a power of two — so each
     # leaf unfolds by its own width ratio (pad chains sit at the end at
     # every level: proportional prefix slice drops them).
+    # The compaction DEPTH must be the unbatched schedule, not the folded
+    # one: custom_vmap requires this rule's output pytree to match the
+    # primal traced on per-element avals (which sees the unbatched lane
+    # width). The folded width always admits at least as many levels, so
+    # the forced depth stays feasible.
+    n_cr_u = _cr_schedule(T, _chunk_group(C, T, Db) * T)
     f = _ppcr_factor_impl(
         TF(fold(D.hi), fold(D.lo)), TF(fold(U.hi), fold(U.lo)), None,
-        compact=True,
+        compact=True, n_cr=n_cr_u,
     )
     padded_fine = (
         f.base.invD.hi.shape[-1] << len(f.levels)
@@ -1023,10 +1041,11 @@ def _ppcr_solve_vmap_rule(axis_size, in_batched, factors, rhs):
 def ppcr_factor_pallas(D: TF, U: TF, interpret=None):
     """Public factor entry: vmappable (batch folds into the chain axis).
     Returns :class:`CRFactors` (compaction preamble + PCR base) when
-    `_cr_schedule` finds room — under vmap the schedule sees the FOLDED
-    lane width, so Monte-Carlo batches compact too — else plain
-    :class:`PPCRFactors`. An explicit ``interpret`` bypasses the
-    custom_vmap wrapper (tests)."""
+    `_cr_schedule` finds room — under vmap the kernels run at the FOLDED
+    lane width but the compaction DEPTH is pinned to the unbatched
+    schedule (custom_vmap's structure contract; see
+    `_ppcr_factor_vmap_rule`) — else plain :class:`PPCRFactors`. An
+    explicit ``interpret`` bypasses the custom_vmap wrapper (tests)."""
     if interpret is None:
         return _ppcr_factor_vmappable(D, U)
     return _ppcr_factor_impl(D, U, interpret, compact=True)

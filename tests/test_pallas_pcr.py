@@ -270,3 +270,38 @@ def test_segmented_band_matches_dense():
             np.abs(xref)
         )
         assert err < 1e-6, (c, err)
+
+
+def test_cr_vmap_depth_matches_unbatched_trace():
+    """Regression: custom_vmap requires the rule's output pytree to match
+    the primal traced on UNBATCHED avals. At Monte-Carlo-bench shapes
+    (T=64, small C, large B) the folded lane width admits more compaction
+    levels than the unbatched width, which used to make the factor rule
+    return a deeper CRFactors (3 levels vs 1) and fail the structure
+    check at trace time. The rule now forces the unbatched schedule;
+    vmapped solves must equal the per-trial calls bit-for-bit (same
+    depth => identical elimination order per lane)."""
+    import jax
+
+    T, Db, B, C, K = 64, 3, 25, 4, 2
+    rng = np.random.default_rng(7)
+    Ds, Us, Rs = [], [], []
+    for b in range(B):
+        chains = [_block_tridiag(T, Db, 100 + 10 * b + c) for c in range(C)]
+        Ds.append(np.stack([c[0] for c in chains]))
+        Us.append(np.stack([c[1] for c in chains]))
+        Rs.append(rng.standard_normal((C, T, Db, K)))
+    Db_, Ub_, Rb_ = (jnp.asarray(np.stack(a)) for a in (Ds, Us, Rs))
+
+    def solve_one(D, U, R):
+        f = ppcr_factor_pallas(tfm.from_f64(D), tfm.from_f64(U))
+        return tfm.to_f64(ppcr_solve_pallas(f, tfm.from_f64(R)))
+
+    xb = np.asarray(jax.vmap(solve_one)(Db_, Ub_, Rb_))
+    for b in (0, B // 2, B - 1):
+        x1 = np.asarray(solve_one(Db_[b], Ub_[b], Rb_[b]))
+        np.testing.assert_array_equal(xb[b], x1)
+        Kd = _dense(Ds[b][0], Us[b][0])
+        xref = np.linalg.solve(Kd, Rs[b][0].reshape(T * Db, K))
+        err = np.max(np.abs(xb[b, 0].reshape(T * Db, K) - xref))
+        assert err / np.max(np.abs(xref)) < 1e-6, (b, err)
