@@ -61,6 +61,7 @@ from score_tpu.assembly.conic import (
 )
 import os
 
+from score_tpu.ops import ozaki
 from score_tpu.ops import twofloat as tfm
 from score_tpu.ops.twofloat import TF
 from score_tpu.ops.pallas_pcr import (
@@ -77,7 +78,13 @@ from score_tpu.ops.pallas_pcr import (
 from score_tpu.solver.linops import G_apply
 from score_tpu.solver.pcr import PCRFactors, pcr_factor, pcr_pad_length, pcr_solve
 from score_tpu.solver.pcr_tf import pcr_factor_tf, pcr_solve_tf
-from score_tpu.solver.smallblocks import inv_small_spd
+from score_tpu.solver.smallblocks import (
+    blocked_dense_L,
+    blocked_lower_solve,
+    blocked_upper_solve,
+    chol_blocked,
+    inv_small_spd,
+)
 
 __all__ = [
     "ChainArrowStructure",
@@ -585,6 +592,12 @@ class CAFactors(NamedTuple):
     # factored in two-float; solves scale in and out in f64.
     dC: jnp.ndarray = None  # (C, T, D)
     dA: jnp.ndarray = None  # (A,)
+    # blocked-arrow factors (TPU, A >= _BLOCKED_ARROW_MIN_A): the
+    # (nb, nb, b, b) block factor and its diagonal-block inverses — the
+    # substitutions then run as jnp blocked sweeps instead of the slow
+    # f64 triangular_solve custom calls (see smallblocks.chol_blocked)
+    arrow_Lb: jnp.ndarray = None
+    arrow_Dinv: jnp.ndarray = None
 
 
 def _use_pallas_pcr() -> bool:
@@ -598,6 +611,48 @@ def _use_pallas_pcr() -> bool:
     if flag == "1":
         return True
     return jax.default_backend() == "tpu"
+
+
+_EXACT_MM_MIN_MACS = 2_000_000
+
+
+def _use_exact_mm(st, dtype, macs: int) -> bool:
+    """Route the large W-dependent dense contractions (arrow Schur product,
+    arrow-arrow cross term) through the exact split-f32 MXU matmuls of
+    :mod:`score_tpu.ops.ozaki` instead of emulated-f64 einsums. Default:
+    on TPU, unsharded, f64 data, and only where the contraction is big
+    enough to matter (small problems keep the single fused einsum).
+    Override with SCORE_TPU_EXACT_MM=0/1 (1 forces the path regardless of
+    backend/size — the dtype and sharding guards always apply)."""
+    if dtype != jnp.float64 or st.shard_mesh is not None:
+        return False
+    flag = os.environ.get("SCORE_TPU_EXACT_MM", "")
+    if flag == "0":
+        return False
+    if flag == "1":  # forced (tests): only the correctness guards apply
+        return True
+    return macs >= _EXACT_MM_MIN_MACS and jax.default_backend() == "tpu"
+
+
+_BLOCKED_ARROW_MIN_A = 64
+
+
+def _use_blocked_arrow(dtype, A: int) -> bool:
+    """Route the arrow Cholesky + substitutions through the blocked jnp
+    path (smallblocks.chol_blocked). Default: on TPU for f64 arrows of
+    width >= _BLOCKED_ARROW_MIN_A, where the XLA f64 cholesky /
+    triangular_solve custom calls are the measured per-iteration
+    bottleneck (17 ms + 3 ms/substitution at A=258). CPU keeps LAPACK.
+    Override with SCORE_TPU_BLOCKED_ARROW=0/1 (1 forces it — the f64
+    dtype guard always applies)."""
+    if dtype != jnp.float64:
+        return False
+    flag = os.environ.get("SCORE_TPU_BLOCKED_ARROW", "")
+    if flag == "0":
+        return False
+    if flag == "1":
+        return True
+    return A >= _BLOCKED_ARROW_MIN_A and jax.default_backend() == "tpu"
 
 
 def _shmap_n_dev(st) -> int:
@@ -1098,9 +1153,15 @@ class ChainArrowBackend:
             iN = jnp.arange(st.NTB)
             Sblk = Sblk.at[iN, :, iN, :].add(diag_a)
             # arrow-arrow cross (-Hhat both ways)
-            cross_aa = jnp.einsum(
-                "ma,mb,mij->aibj", st.oh_arrow_a, st.oh_arrow_b, -Hhat
-            )
+            aa_macs = st.NR * (st.NTB * d) ** 2
+            if st.NR < (1 << 16) and _use_exact_mm(st, dtype, aa_macs):
+                cross_aa = ozaki.onehot_pair_contract(
+                    st.oh_arrow_a, st.oh_arrow_b, -Hhat
+                ).astype(dtype)
+            else:
+                cross_aa = jnp.einsum(
+                    "ma,mb,mij->aibj", st.oh_arrow_a, st.oh_arrow_b, -Hhat
+                )
             Sblk = Sblk + cross_aa + jnp.einsum("aibj->bjai", cross_aa)
             # chain-arrow cross terms: each chain-resident endpoint
             # couples to its partner's arrow site with -Hhat (Hhat
@@ -1213,18 +1274,37 @@ class ChainArrowBackend:
         else:
             pcrf = jax.vmap(pcr_factor)(Dp, Up)
             Z = jax.vmap(pcr_solve)(pcrf, Bp)
-        Sg = Sg - jnp.einsum("ctia,ctib->ab", Bp, Z)
+        Kc = C * Tp * D
+        if _use_exact_mm(st, dtype, Kc * A * A):
+            # arrow Schur product as exact split-f32 MXU matmuls — the
+            # dominant per-iteration contraction at multi-robot scale
+            # (~1e9 emulated-f64 MACs/iter at 20 robots as an einsum)
+            Sg = Sg - ozaki.mm_f64(
+                Bp.reshape(Kc, A), Z.reshape(Kc, A)
+            ).astype(dtype)
+        else:
+            Sg = Sg - jnp.einsum("ctia,ctib->ab", Bp, Z)
+        esc = jnp.eye(A, dtype=dtype) * (
+            params.reg_escalation * delta
+        ).astype(dtype)
+        if _use_blocked_arrow(dtype, A):
+            Lb1, Dinv1 = chol_blocked(Sg)
+            Lb, Dinv = jax.lax.cond(
+                jnp.all(jnp.isfinite(Lb1)),
+                lambda: (Lb1, Dinv1),
+                lambda: chol_blocked(Sg + esc),
+            )
+            # dense LS kept for any consumer that wants the plain factor;
+            # dead (and DCE'd) on the solve fast path
+            LS = blocked_dense_L(Lb, A)
+            return pcrf, Bp, Z, LS, (Lb, Dinv)
         LS1 = jnp.linalg.cholesky(Sg)
         LS = jax.lax.cond(
             jnp.all(jnp.isfinite(LS1)),
             lambda: LS1,
-            lambda: jnp.linalg.cholesky(
-                Sg
-                + jnp.eye(A, dtype=dtype)
-                * (params.reg_escalation * delta).astype(dtype)
-            ),
+            lambda: jnp.linalg.cholesky(Sg + esc),
         )
-        return pcrf, Bp, Z, LS
+        return pcrf, Bp, Z, LS, None
 
     @staticmethod
     def factor(problem: ConicProblem, state: CAState, Winv2, params):
@@ -1232,12 +1312,14 @@ class ChainArrowBackend:
         Dg, Ug, Bg, Sg, kdd, wv, Hhat, delta = ChainArrowBackend._assemble(
             problem, state, Winv2, params
         )
-        pcrf, Bp, Z, LS = ChainArrowBackend._factor_band(
+        pcrf, Bp, Z, LS, arrowb = ChainArrowBackend._factor_band(
             st, Dg, Ug, Bg, Sg, delta, params
         )
         return CAFactors(
             pcr=pcrf, B=Bp, Z=Z, LS=LS, kdd=kdd, wv=wv, Hhat=Hhat,
             Winv2=Winv2,
+            arrow_Lb=None if arrowb is None else arrowb[0],
+            arrow_Dinv=None if arrowb is None else arrowb[1],
         )
 
     # ---------------- solve ---------------- #
@@ -1303,7 +1385,15 @@ class ChainArrowBackend:
         else:
             w = jax.vmap(pcr_solve)(factors.pcr, rp)[..., 0]  # (C, Tp, D)
         ra_schur = ra - jnp.einsum("ctia,cti->a", factors.B, w)
-        u = _tri_T(factors.LS, _tri(factors.LS, ra_schur))
+        if factors.arrow_Lb is not None:
+            u = blocked_upper_solve(
+                factors.arrow_Lb, factors.arrow_Dinv,
+                blocked_lower_solve(
+                    factors.arrow_Lb, factors.arrow_Dinv, ra_schur
+                ),
+            )
+        else:
+            u = _tri_T(factors.LS, _tri(factors.LS, ra_schur))
         dxc = (w - jnp.einsum("ctia,a->cti", factors.Z, u))[:, :T]
         if factors.dC is not None:
             dxc = dxc * factors.dC
@@ -1413,12 +1503,14 @@ class MixedChainArrowBackend(ChainArrowBackend):
             Ug = Ug * dC[:, :-1, :, None] * dC[:, 1:, None, :]
         Bg = Bg * dC[..., :, None] * dA[None, None, None, :]
         Sg = Sg * dA[:, None] * dA[None, :]
-        pcrf, Bp, Z, LS = ChainArrowBackend._factor_band(
+        pcrf, Bp, Z, LS, arrowb = ChainArrowBackend._factor_band(
             st, Dg, Ug, Bg, Sg, delta, params, use_tf=True
         )
         return CAFactors(
             pcr=pcrf, B=Bp, Z=Z, LS=LS, kdd=kdd, wv=wv, Hhat=Hhat,
             Winv2=Winv2, dC=dC, dA=dA,
+            arrow_Lb=None if arrowb is None else arrowb[0],
+            arrow_Dinv=None if arrowb is None else arrowb[1],
         )
 
     # solve() is inherited unchanged: the two-float band solve is accurate

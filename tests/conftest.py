@@ -51,6 +51,7 @@ _SMOKE_MODULES = {
     "test_pallas_blocks",
     "test_pcr_tf",
     "test_assembly",
+    "test_ozaki",
 }
 
 
