@@ -268,15 +268,50 @@ _ASSEMBLY_CACHE_MAX = 4
 
 
 def _data_fingerprint(data: FactorGraphData) -> tuple:
-    rm = data.range_measurements
-    lc = data.loop_closure_measurements
+    """Content-complete cache key: one digest over every measurement's
+    endpoints and numeric values (odometry, loop closures, ranges, and
+    the cost-carrying landmark priors), so in-place mutation of ANY
+    measurement — including a middle range or an odometry value, with
+    unchanged counts — invalidates the entry. One pass over the host
+    measurement lists (~1 ms at GOATS scale) per solve_score call;
+    the id(data) cache key remains the fast path to the entry."""
+    import hashlib
+
+    h = hashlib.blake2b(digest_size=16)
+
+    def upd(v) -> None:
+        h.update(v if isinstance(v, bytes) else repr(v).encode())
+
+    def upd_pose_meas(ms) -> None:
+        for m in ms:
+            upd(m.base_pose)
+            upd(m.to_pose)
+            if hasattr(m, "x"):  # 2D
+                upd((m.x, m.y, m.theta, m.translation_precision,
+                     m.rotation_precision))
+            else:  # 3D
+                upd(np.asarray(m.translation, np.float64).tobytes())
+                upd(np.asarray(m.rotation, np.float64).tobytes())
+                upd((m.translation_precision, m.rotation_precision))
+
+    upd((data.dimension, data.num_poses, data.num_landmarks))
+    for chain in data.odom_measurements:
+        upd_pose_meas(chain)
+    upd_pose_meas(data.loop_closure_measurements)
+    for r in data.range_measurements:
+        upd(r.association)
+        upd((r.dist, r.stddev))
+    for p in data.landmark_priors:
+        upd(p.name)
+        upd(np.asarray(p.translation_vector, np.float64).tobytes())
+        upd(p.translation_precision)
     return (
         data.num_poses,
         data.num_landmarks,
         data.num_odom_measurements,
-        len(rm),
-        len(lc),
-        (rm[0].dist, rm[-1].dist, rm[0].association) if rm else None,
+        len(data.range_measurements),
+        len(data.loop_closure_measurements),
+        h.hexdigest(),
     )
 
 
@@ -409,35 +444,46 @@ def solve_problem_with_intermediate_iterates(
         _prepare_assembly(data, relaxation_type, params)
     )
     warm_start = _build_warm_start(scaled_data, problem, idx, params, scale)
-    result, xs = solve_conic_with_iterates(
+    result, xs, ms = solve_conic_with_iterates(
         problem, params.ipm_params(), num_iters=params.max_iter,
         backend=backend, backend_aux=backend_aux, warm_start=warm_start,
         prepared=prepared,
     )
+    ms = np.asarray(ms)  # (num_iters+1, 5): pres, dres, gap, pobj, status
     xs.block_until_ready()
     total_time = time.perf_counter() - t0
     n_iters = int(result.iterations)
 
     out: List[SolverResults] = []
     chains = data.get_pose_chain_names()
-    solved = bool(int(result.status) in SOLVED_STATUSES)
     for it in range(n_iters + 1):
         # the final snapshot uses the result's (best-)iterate — the same
-        # vector solve_score extracts
-        x_it = np.asarray(result.x if it == n_iters else xs[it])
+        # vector solve_score extracts; intermediate snapshots carry their
+        # own objective/gap/residuals (parity: the reference's sweep
+        # returns a full SolverResults per barrier iteration,
+        # solve_score.py:111-114)
+        final = it == n_iters
+        x_it = np.asarray(result.x if final else xs[it])
+        pres, dres, gap, pobj, status = (
+            (float(result.pres), float(result.dres), float(result.gap),
+             float(result.pobj), int(result.status))
+            if final
+            else (float(ms[it, 0]), float(ms[it, 1]), float(ms[it, 2]),
+                  float(ms[it, 3]), int(ms[it, 4]))
+        )
         values = variable_values_from_x(x_it, idx)
         out.append(
             unscale_results(
                 SolverResults(
                     variables=values,
                     total_time=total_time,
-                    solved=solved and it == n_iters,
+                    solved=status in SOLVED_STATUSES,
                     pose_chain_names=chains,
                     iterations=it,
-                    primal_objective=(
-                        float(result.pobj) if it == n_iters else float("nan")
-                    ),
-                    gap=float(result.gap) if it == n_iters else float("nan"),
+                    primal_objective=pobj,
+                    gap=gap,
+                    primal_residual=pres,
+                    dual_residual=dres,
                     relaxation=relaxation_type,
                 ),
                 scale,

@@ -91,6 +91,15 @@ def _slice_operand(
     power-of-two bound over ``axis`` (the contraction axis). With
     ``exact_bits`` set, X is promised to already be exactly representable
     in that many bits (e.g. a 0/1 one-hot): returned as a single slice.
+
+    Input-magnitude bound: the extraction constant phi = sigma * 3 *
+    2^(22-nbits) must itself be finite in f32, which caps column maxima
+    at |X| < ~2^(111+nbits-22) ~ 2.6e33 for the default nbits=7. Larger
+    entries overflow phi to inf and silently poison the output. The KKT
+    quantities routed here (arrow Schur operands, Hhat blocks) are
+    Jacobi-equilibrated / measurement-scaled and sit many orders below
+    that; a diverging iterate large enough to breach it also trips the
+    solver's finite-iterate guards before the factorization is used.
     """
     if exact_bits is not None:
         return [(X.astype(jnp.float32), 0)]

@@ -637,15 +637,19 @@ def _use_exact_mm(st, dtype, macs: int) -> bool:
 _BLOCKED_ARROW_MIN_A = 64
 
 
-def _use_blocked_arrow(dtype, A: int) -> bool:
+def _use_blocked_arrow(st, dtype, A: int) -> bool:
     """Route the arrow Cholesky + substitutions through the blocked jnp
     path (smallblocks.chol_blocked). Default: on TPU for f64 arrows of
     width >= _BLOCKED_ARROW_MIN_A, where the XLA f64 cholesky /
     triangular_solve custom calls are the measured per-iteration
     bottleneck (17 ms + 3 ms/substitution at A=258). CPU keeps LAPACK.
-    Override with SCORE_TPU_BLOCKED_ARROW=0/1 (1 forces it — the f64
-    dtype guard always applies)."""
-    if dtype != jnp.float64:
+    Intra-problem-sharded solves keep the dense path too: the blocked
+    Cholesky is a sequential scan of dynamic slices with no sharded
+    parity test, and GSPMD would replicate/gather it anyway (the arrow
+    is chain-replicated under shard_map). Override with
+    SCORE_TPU_BLOCKED_ARROW=0/1 (1 forces it — the f64 dtype and
+    sharding guards always apply)."""
+    if dtype != jnp.float64 or st.shard_mesh is not None:
         return False
     flag = os.environ.get("SCORE_TPU_BLOCKED_ARROW", "")
     if flag == "0":
@@ -1287,15 +1291,24 @@ class ChainArrowBackend:
         esc = jnp.eye(A, dtype=dtype) * (
             params.reg_escalation * delta
         ).astype(dtype)
-        if _use_blocked_arrow(dtype, A):
+        if _use_blocked_arrow(st, dtype, A):
             Lb1, Dinv1 = chol_blocked(Sg)
+            # escalate on non-finite entries in EITHER factor output: an
+            # exactly-singular Sg with its zero pivot in the last diagonal
+            # block yields a finite Lb but inf in Dinv (the block inverse
+            # divides by the zero pivot), and skipping escalation there
+            # would emit non-finite directions where the dense cholesky
+            # path would have retried
             Lb, Dinv = jax.lax.cond(
-                jnp.all(jnp.isfinite(Lb1)),
+                jnp.all(jnp.isfinite(Lb1)) & jnp.all(jnp.isfinite(Dinv1)),
                 lambda: (Lb1, Dinv1),
                 lambda: chol_blocked(Sg + esc),
             )
-            # dense LS kept for any consumer that wants the plain factor;
-            # dead (and DCE'd) on the solve fast path
+            # dense LS kept for consumers that want the plain factor
+            # (parity tests compare factors across routing paths). It IS
+            # materialized each factorization — the cost is one
+            # transpose/reshape of already-computed blocks — but the
+            # solve fast path reads only (Lb, Dinv).
             LS = blocked_dense_L(Lb, A)
             return pcrf, Bp, Z, LS, (Lb, Dinv)
         LS1 = jnp.linalg.cholesky(Sg)

@@ -841,27 +841,27 @@ def _scan_solve(backend, problem, params, num_iters, record_iterates,
             )
         out = None
         if record_iterates:
-            out = new_st.x
+            out = (new_st.x, _metrics5(new_st))
         elif record_metrics:
-            ok, bad, pres, dres, gap, pq = _convergence(
-                backend, problem, state_ops, params,
-                new_st.x, new_st.s, new_st.z,
-            )
-            out = jnp.concatenate(
-                [
-                    jnp.stack(
-                        [pres, dres, gap, pq + state_ops.const,
-                         new_st.status.astype(pres.dtype)]
-                    ),
-                    new_st.diag,
-                ]
-            )
+            out = jnp.concatenate([_metrics5(new_st), new_st.diag])
         return new_st, out
+
+    def _metrics5(s):
+        ok, bad, pres, dres, gap, pq = _convergence(
+            backend, problem, state_ops, params, s.x, s.s, s.z
+        )
+        return jnp.stack(
+            [pres, dres, gap, pq + state_ops.const,
+             s.status.astype(pres.dtype)]
+        )
 
     st, xs = jax.lax.scan(scan_body, st0, None, length=num_iters)
     result = _finalize(backend, problem, state_ops, params, st)
     if record_iterates:
+        xs, ms = xs
         xs = jnp.concatenate([st0.x[None], xs], axis=0)
+        ms = jnp.concatenate([_metrics5(st0)[None], ms], axis=0)
+        return result, xs, ms
     return result, xs
 
 
@@ -914,13 +914,16 @@ def solve_conic_with_iterates(
     backend_aux=None,
     warm_start=None,
     prepared=None,
-) -> Tuple[IPMResult, jnp.ndarray]:
+) -> Tuple[IPMResult, jnp.ndarray, jnp.ndarray]:
     """Like :func:`solve_conic` but records x after every iteration
     (parity with the reference's BarIterLimit iterate sweep,
     solve_score.py:89-116 — here a single scan, not N re-solves).
 
-    Returns (result, xs) with xs of shape (num_iters + 1, n); iterations
-    after convergence repeat the converged x.
+    Returns (result, xs, metrics): xs of shape (num_iters + 1, n) —
+    iterations after convergence repeat the converged x — and metrics of
+    shape (num_iters + 1, 5) holding [pres, dres, gap, pobj, status] at
+    each snapshot (the per-iterate objectives the reference's sweep
+    reports through each re-solve's SolverResults, solve_score.py:111-114).
     """
     return _scan_solve(backend, problem, params, num_iters, True, backend_aux,
                        warm_start=warm_start, prepared=prepared)

@@ -136,7 +136,7 @@ class TestIterates:
         problem, _ = build_conic_problem(fg, SOCP_RELAXATION)
         params = IPMParams(max_iter=40)
         res_direct = solve_conic(problem, params)
-        res_it, xs = solve_conic_with_iterates(problem, params, num_iters=40)
+        res_it, xs, ms = solve_conic_with_iterates(problem, params, num_iters=40)
         assert int(res_it.status) in SOLVED_STATUSES
         n_it = int(res_it.iterations)
         # iterates freeze after convergence (xs records raw iterates; the
@@ -155,7 +155,7 @@ class TestIterates:
         """The objective of iterates should approach the optimum."""
         fg = small_graph(rng)
         problem, _ = build_conic_problem(fg, SOCP_RELAXATION)
-        res, xs = solve_conic_with_iterates(problem, IPMParams(), num_iters=40)
+        res, xs, ms = solve_conic_with_iterates(problem, IPMParams(), num_iters=40)
         objs = [evaluate_objective(problem, np.asarray(x)) for x in xs]
         n_it = int(res.iterations)
         final = objs[n_it]
