@@ -67,6 +67,10 @@ class ScoreSolverParams:
     # the full unreduced Newton system — what lets the endgame reach the
     # 1e-6-grade gap target (see solver/ipm.py).
     dir_refine_steps: int = 1
+    # Gondzio multiple-centrality correctors per iteration (see
+    # IPMParams.gondzio_correctors; each costs one extra condensed solve
+    # per iteration and typically cuts the iteration count).
+    gondzio_correctors: int = 2
 
     # Solve in normalized translation units (conditioning; exact
     # reparameterization, see assembly/normalize.py).
@@ -101,6 +105,7 @@ class ScoreSolverParams:
                 step_fraction=self.step_fraction,
                 kkt_refine_steps=max(self.kkt_refine_steps, 1),
                 dir_refine_steps=self.dir_refine_steps,
+                gondzio_correctors=self.gondzio_correctors,
                 tol_feas_reduced=(
                     1e-2 if self.tol_feas_reduced is None
                     else self.tol_feas_reduced
@@ -124,5 +129,6 @@ class ScoreSolverParams:
             step_fraction=self.step_fraction,
             kkt_refine_steps=self.kkt_refine_steps,
             dir_refine_steps=self.dir_refine_steps,
+            gondzio_correctors=self.gondzio_correctors,
             **extra,
         )

@@ -15,6 +15,10 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 mm = sys.argv[1] if len(sys.argv) > 1 else "1"
 os.environ["SCORE_TPU_EXACT_MM"] = mm
+# argv[2] (optional): gondzio corrector count override — compile-cost
+# attribution (each unrolled corrector is one more condensed-solve
+# subgraph in the while_loop body)
+gondzio = int(sys.argv[2]) if len(sys.argv) > 2 else None
 
 import numpy as np
 
@@ -44,7 +48,11 @@ def main():
             inter_robot_measure_prob=0.05, seed=20,
         )
     )
-    params = ScoreSolverParams(max_iter=60)
+    params = (
+        ScoreSolverParams(max_iter=60)
+        if gondzio is None
+        else ScoreSolverParams(max_iter=60, gondzio_correctors=gondzio)
+    )
     t0 = time.perf_counter()
     res = solve_score(fg, "SOCP", params)
     first = time.perf_counter() - t0
@@ -59,6 +67,10 @@ def main():
             {
                 "step": "robot20_e2e",
                 "exact_mm": mm,
+                "gondzio": gondzio,
+                "blocked_arrow": os.environ.get(
+                    "SCORE_TPU_BLOCKED_ARROW", ""
+                ),
                 "first_s": round(first, 1),
                 "warm_best": round(min(times), 4),
                 "times": [round(t, 3) for t in times],
