@@ -234,6 +234,37 @@ def extra_robot20(goats_fg):
     )
 
 
+def extra_3d(goats_fg):
+    # 3D 1000-pose world (dim 3 is first-class in the reference builder,
+    # gurobi_utils.py:37-50). 4 robots x 250 poses: T = 256 chains run
+    # the plain Db=12 Pallas band — the single-chain 1x1000 variant needs
+    # the SPIKE-segmented band whose compile does not fit a bench budget.
+    from score_tpu.api import ScoreSolverParams
+    from score_tpu.sim.world3d import World3DParams, simulate_3d_world
+
+    fg3 = simulate_3d_world(
+        World3DParams(
+            num_robots=4, num_poses_per_robot=250, num_landmarks=6,
+            range_measure_prob=0.4, seed=3,
+        )
+    )
+    best, res, _ = bench_solve_score(
+        fg3, "SOCP", ScoreSolverParams(max_iter=60), repeats=2
+    )
+    rg = _relgap(res)
+    assert res.solved and rg <= 1e-6, (res.solved, rg)
+    _emit(
+        {
+            "metric": "solve3d_1000pose_socp_wall_clock",
+            "value": round(best, 4),
+            "unit": "seconds",
+            "status": "OPTIMAL",
+            "relgap": float(f"{rg:.3e}"),
+            "iterations": res.iterations,
+        }
+    )
+
+
 def extra_mc_batch(goats_fg):
     # 100-trial Monte-Carlo batch (vmapped mixed band)
     import jax
@@ -342,10 +373,11 @@ def main() -> None:
         # An extra that does not fit is skipped — not killed mid-compile
         # — so every row that fits lands in the artifact and rc is 0.
         for extra, cost_ratio in (
-            (extra_robot20, 1.7),
-            (extra_mc_batch, 4.5),
+            (extra_robot20, 5.0),
+            (extra_3d, 2.5),
             (extra_qcqp, 1.15),
             (extra_manhattan4, 1.35),
+            (extra_mc_batch, 4.5),
         ):
             est = cost_ratio * t_primary
             for attempt in (1, 2):

@@ -620,11 +620,16 @@ def _use_exact_mm(st, dtype, macs: int) -> bool:
     """Route the large W-dependent dense contractions (arrow Schur product,
     arrow-arrow cross term) through the exact split-f32 MXU matmuls of
     :mod:`score_tpu.ops.ozaki` instead of emulated-f64 einsums. Default:
-    on TPU, unsharded, f64 data, and only where the contraction is big
-    enough to matter (small problems keep the single fused einsum).
-    Override with SCORE_TPU_EXACT_MM=0/1 (1 forces the path regardless of
-    backend/size — the dtype and sharding guards always apply)."""
-    if dtype != jnp.float64 or st.shard_mesh is not None:
+    on TPU, f64 data, and only where the contraction is big enough to
+    matter (small problems keep the single fused einsum). Measured on the
+    20-robot world (r4): warm 1.502 -> 1.417 s AND compile 1742 -> 1448 s
+    at identical iterations/relgap, so it also stays on for
+    intra-problem-sharded solves (ozaki is plain jnp — GSPMD partitions
+    the slice einsums and psums the chunk partials; exact-parity-tested
+    on the CPU mesh, test_parallel.py). Override with SCORE_TPU_EXACT_MM
+    =0/1 (1 forces the path regardless of backend/size — the dtype guard
+    always applies)."""
+    if dtype != jnp.float64:
         return False
     flag = os.environ.get("SCORE_TPU_EXACT_MM", "")
     if flag == "0":

@@ -512,8 +512,15 @@ def _step(backend, problem: ConicProblem, state_ops, params: IPMParams,
     alpha = step_len(ds, dz)
 
     # --- Gondzio multiple centrality correctors ---
+    # rolled into a fori_loop (not unrolled): each unrolled corrector is
+    # one more copy of the condensed-solve subgraph in the compiled
+    # while_loop body, and compile time through the remote-compile
+    # service scales with graph size. Numerics are unchanged — the loop
+    # body is exactly the previous unrolled body.
     mu_t = sigma * mu
-    for _ in range(params.gondzio_correctors):
+
+    def gondzio_body(_, dirs):
+        dx, ds, dz, alpha = dirs
         a_trial = jnp.minimum(1.0, 1.1 * alpha + 0.1)
         s_t = s + a_trial * ds
         z_t = z + a_trial * dz
@@ -534,10 +541,18 @@ def _step(backend, problem: ConicProblem, state_ops, params: IPMParams,
         dx_n, ds_n, dz_n = dx + dx_c, ds + ds_c, dz + dz_c
         alpha_n = step_len(ds_n, dz_n)
         accept = alpha_n > alpha * 1.01
-        dx = jnp.where(accept, dx_n, dx)
-        ds = jnp.where(accept, ds_n, ds)
-        dz = jnp.where(accept, dz_n, dz)
-        alpha = jnp.where(accept, alpha_n, alpha)
+        return (
+            jnp.where(accept, dx_n, dx),
+            jnp.where(accept, ds_n, ds),
+            jnp.where(accept, dz_n, dz),
+            jnp.where(accept, alpha_n, alpha),
+        )
+
+    if params.gondzio_correctors:
+        dx, ds, dz, alpha = jax.lax.fori_loop(
+            0, params.gondzio_correctors, gondzio_body,
+            (dx, ds, dz, alpha),
+        )
 
     # --- wide-neighborhood safeguard (see IPMParams.nbhd_gamma) ---
     g4 = jnp.asarray(params.nbhd_gamma, dtype) ** 4

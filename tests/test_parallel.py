@@ -133,6 +133,56 @@ class TestIntraProblemSharding:
             float(r_single.pobj), rel=1e-6, abs=1e-8
         )
 
+    def test_chain_sharded_exact_mm_matches_single(self, monkeypatch):
+        """Intra-problem sharding with the exact split-f32 (ozaki) arrow
+        contractions forced on: the r4 guard lift routes sharded
+        multi-robot solves through ozaki.mm_f64 / onehot_pair_contract
+        too (plain jnp — GSPMD partitions the slice einsums), and the
+        sharded result must match the unsharded solve of the same
+        problem with the same routing."""
+        import jax
+        from jax.sharding import Mesh
+
+        from score_tpu.assembly.conic import SOCP_RELAXATION, build_conic_problem
+        from score_tpu.parallel.intra import solve_conic_chain_sharded
+        from score_tpu.sim.manhattan import (
+            ManhattanWorldParams,
+            simulate_manhattan_world,
+        )
+        from score_tpu.solver.chain_arrow import (
+            ChainArrowBackend,
+            build_chain_arrow,
+        )
+        from score_tpu.solver.ipm import IPMParams, SOLVED_STATUSES, solve_conic
+
+        monkeypatch.setenv("SCORE_TPU_EXACT_MM", "1")
+        fg = simulate_manhattan_world(
+            ManhattanWorldParams(
+                num_robots=8,
+                num_poses_per_robot=12,
+                num_landmarks=4,
+                grid_size=10,
+                range_measure_prob=0.35,
+                inter_robot_measure_prob=0.1,
+                inter_robot_sensing_radius=10.0,
+                seed=3,
+            )
+        )
+        problem, idx = build_conic_problem(fg, SOCP_RELAXATION)
+        params = IPMParams(max_iter=40)
+
+        mesh = Mesh(np.array(jax.devices()), ("chains",))
+        r_sharded = solve_conic_chain_sharded(problem, idx, mesh, params)
+        r_single = solve_conic(
+            problem, params,
+            backend=ChainArrowBackend,
+            backend_aux=build_chain_arrow(problem, idx),
+        )
+        assert int(r_sharded.status) in SOLVED_STATUSES
+        assert float(r_sharded.pobj) == pytest.approx(
+            float(r_single.pobj), rel=1e-6, abs=1e-8
+        )
+
     def test_shmap_pallas_band_parity(self, monkeypatch):
         """The shard_map-wrapped fused Pallas band (interpret mode on the
         CPU mesh) must reproduce the unsharded kernels EXACTLY: each
