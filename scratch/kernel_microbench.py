@@ -219,14 +219,36 @@ def main():
             )
         )(Bp2)
         if "schur" in phases:
-            timed(
-                "schur",
-                scan_over(lambda W: jnp.linalg.cholesky(
-                    SgE * (1.0 + 1e-12 * jnp.sum(W[..., :1, :1]))
-                    - jnp.einsum("ctia,ctib->ab", Bp2, Z2)
-                )),
-                Winv2,
+            # route exactly like production _factor_band: exact_mm for
+            # the B'Z product and the blocked arrow Cholesky when those
+            # paths would be taken for this workload
+            from score_tpu.ops import ozaki
+            from score_tpu.solver.chain_arrow import (
+                _use_blocked_arrow,
+                _use_exact_mm,
             )
+            from score_tpu.solver.smallblocks import chol_blocked
+
+            Kc2 = C * Tp * D
+            use_mm = _use_exact_mm(st, Dg.dtype, Kc2 * A * A)
+            use_blk = _use_blocked_arrow(st, Dg.dtype, A)
+
+            def schur_once(W):
+                sc = 1.0 + 1e-12 * jnp.sum(W[..., :1, :1])
+                if use_mm:
+                    S2 = SgE * sc - ozaki.mm_f64(
+                        Bp2.reshape(Kc2, A), Z2.reshape(Kc2, A)
+                    ).astype(Dg.dtype)
+                else:
+                    S2 = SgE * sc - jnp.einsum("ctia,ctib->ab", Bp2, Z2)
+                if use_blk:
+                    return chol_blocked(S2)[0]
+                return jnp.linalg.cholesky(S2)
+
+            print(json.dumps({"schur_routing": {
+                "exact_mm": bool(use_mm), "blocked_arrow": bool(use_blk),
+            }}), flush=True)
+            timed("schur", scan_over(schur_once), Winv2)
 
     # NOTE: must be jitted — an eager/standalone compile of the factor
     # kernel adds an operand copy into its scoped-vmem stack and goes
