@@ -48,6 +48,7 @@ from score_tpu.solver.chain_arrow import (
     build_chain_arrow,
 )
 from score_tpu.solver.params import ScoreSolverParams
+from score_tpu.utils import aotcache
 
 logger = logging.getLogger(__name__)
 
@@ -377,7 +378,14 @@ def _prepare_assembly(data, relaxation_type, params):
     if params.precision == "f32":
         problem = _cast_problem(problem, jnp.float32)
     backend, backend_aux = _select_backend(data, problem, idx, params)
-    prepared = _prepare_jit(backend)(problem, backend_aux)
+    prepared = aotcache.call_cached(
+        _prepare_jit(backend),
+        lower_args=(problem, backend_aux),
+        static_kwargs={},
+        dynamic_args=(problem, backend_aux),
+        tag="prepare",
+        static_sig=backend.__qualname__,
+    )
     entry = (scaled_data, scale, problem, idx, backend, backend_aux,
              prepared)
     if hit is None or hit[0] != fp:
@@ -408,11 +416,21 @@ def solve_score(
     warm_start = _build_warm_start(scaled_data, problem, idx, params, scale)
     # one fused dispatch (solve + rounding + packed extraction), one
     # blocking fetch — the np.asarray is the sync point, so total_time
-    # covers the device solve and the single transfer.
+    # covers the device solve and the single transfer. The dispatch goes
+    # through the AOT executable disk cache (utils/aotcache): on this
+    # runtime a fresh process pays a 5-25 min remote compile per solver
+    # graph, but a previously-serialized executable loads in seconds.
+    ipm_params = params.ipm_params()
     buf = np.asarray(
-        _solve_extract_jit(
-            problem, params.ipm_params(), backend, backend_aux,
-            warm_start, prepared, idx.num_poses, idx.dim,
+        aotcache.call_cached(
+            _solve_extract_jit,
+            lower_args=(problem, ipm_params, backend, backend_aux,
+                        warm_start, prepared, idx.num_poses, idx.dim),
+            static_kwargs={},
+            dynamic_args=(problem, backend_aux, warm_start, prepared),
+            tag="solve_extract",
+            static_sig=repr((ipm_params, backend.__qualname__,
+                             idx.num_poses, idx.dim)),
         )
     )
     total_time = time.perf_counter() - t0

@@ -158,6 +158,23 @@ def _batch_solve(batched_problem, backend_aux, params, backend):
     )(batched_problem, so_b, st_b)
 
 
+def _batch_dispatch(batched_problem, backend_aux, params, backend):
+    """Dispatch the batch solve through the AOT executable disk cache
+    (utils/aotcache): the 100-trial mixed-band graph costs ~18 min of
+    remote compile per fresh process, but a serialized executable loads
+    in seconds."""
+    from score_tpu.utils import aotcache
+
+    return aotcache.call_cached(
+        _batch_solve,
+        lower_args=(batched_problem, backend_aux, params, backend),
+        static_kwargs={},
+        dynamic_args=(batched_problem, backend_aux),
+        tag="batch_solve",
+        static_sig=repr((params, backend.__qualname__)),
+    )
+
+
 def solve_conic_batch(
     batched_problem: ConicProblem,
     params: IPMParams = IPMParams(),
@@ -175,7 +192,7 @@ def solve_conic_batch(
     # branchless: required for backends with custom_vmap'd Pallas calls
     # (MixedChainArrowBackend) and free under vmap for the rest
     params = dataclasses.replace(params, branchless=True)
-    return _batch_solve(batched_problem, backend_aux, params, backend)
+    return _batch_dispatch(batched_problem, backend_aux, params, backend)
 
 
 def default_mesh(axis_name: str = "trials", devices=None) -> Mesh:
@@ -221,4 +238,4 @@ def solve_conic_sharded(
 
     backend = backend or DenseBackend
     params = dataclasses.replace(params, branchless=True)
-    return _batch_solve(batched_problem, backend_aux, params, backend)
+    return _batch_dispatch(batched_problem, backend_aux, params, backend)

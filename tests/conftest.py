@@ -52,6 +52,7 @@ _SMOKE_MODULES = {
     "test_pcr_tf",
     "test_assembly",
     "test_ozaki",
+    "test_aotcache",
 }
 
 
