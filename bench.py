@@ -296,7 +296,17 @@ class _McBatchExtra:
             if jax.default_backend() == "tpu"
             else ChainArrowBackend
         )
-        params = IPMParams(max_iter=20)
+        # No Gondzio correctors for the batch: each corrector is one more
+        # condensed band solve in EVERY trip of the batched while_loop,
+        # but the batch runs to the SLOWEST lane — and the measured trip
+        # count barely moves without them (scratch/mc_gondzio_sweep.py,
+        # 100 trials: trips_max 15 -> 14, all solved, relgap_max 9.2e-7
+        # vs 1.0e-6). Solves per pre-endgame trip drop 4 -> 2.
+        import dataclasses
+
+        params = dataclasses.replace(
+            IPMParams(max_iter=20), gondzio_correctors=0
+        )
         res = solve_conic_batch(batch, params, backend=backend,
                                 backend_aux=ca)
         np.asarray(res.x)  # compile + warmup
