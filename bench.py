@@ -356,9 +356,15 @@ def main() -> None:
         )
 
     quick = os.environ.get("SCORE_TPU_BENCH_QUICK") == "1"
+    # Concurrent warms are the DEFAULT (set SCORE_TPU_BENCH_THREADS=0 to
+    # force serial): the remote-compile service overlaps distinct
+    # graphs' compiles issued from threads of the single tunnel client
+    # (probed: overlap 0.8), and the r4 populate run held 5 warm
+    # threads + the primary on TPU for 2 h without incident. With the
+    # AOT executable cache populated, each warm is just a disk load.
     threaded = (
         not quick
-        and os.environ.get("SCORE_TPU_BENCH_THREADS", "0") == "1"
+        and os.environ.get("SCORE_TPU_BENCH_THREADS", "1") == "1"
     )
 
     extras = []
@@ -444,25 +450,60 @@ def main() -> None:
     t_primary = time.monotonic() - t_prim0
 
     skipped = []
-    if not quick:
-        for e, _ in extras:
-            t = threads.get(e.name)
-            if t is not None:
-                t.join(timeout=max(0.0, _remaining()))
-                if t.is_alive():
-                    warm_ok[e.name] = None  # budget deadline: abandoned
+    if not quick and threaded:
+        # Event loop over the warm threads (replaces in-order joins: a
+        # slow first warm must not starve already-warmed extras of
+        # their seconds-long timed runs — the r4 populate run lost
+        # every extra row to exactly that). Each extra runs as soon as
+        # ITS warm completes; warms still compiling when the budget
+        # runs out are abandoned (daemon threads die with the process).
+        import time as _time
 
-        for extra, cost_ratio in extras:
-            # warmed extras only pay timed re-runs (~seconds); a failed
-            # or unthreaded warm re-pays its compile in run()
-            est = (
-                60.0
-                if threaded and warm_ok.get(extra.name) is True
-                else cost_ratio * t_primary
+        pending = [e for e, _ in extras]
+        while pending and _remaining() > 30.0:
+            progressed = False
+            for extra in list(pending):
+                t = threads[extra.name]
+                if t.is_alive():
+                    continue
+                pending.remove(extra)
+                progressed = True
+                for attempt in (1, 2):
+                    if _remaining() < 30.0:
+                        skipped.append(extra.name)
+                        break
+                    try:
+                        extra.run()  # warm succeeded: seconds; failed:
+                        break        # re-pays its compile inline
+                    except Exception:
+                        # ONE retry (the remote-compile service fails
+                        # transiently — e.g. "response body closed
+                        # before all bytes were read")
+                        traceback.print_exc()
+                        print(
+                            f"bench extra {extra.name} failed "
+                            f"(attempt {attempt}; primary already "
+                            f"emitted)",
+                            file=sys.stderr, flush=True,
+                        )
+            if pending and not progressed:
+                _time.sleep(10.0)
+        for extra in pending:
+            skipped.append(extra.name)
+            print(
+                f"bench extra {extra.name} skipped: warm still compiling "
+                f"at the budget deadline (budget {BUDGET_S:.0f}s)",
+                file=sys.stderr, flush=True,
             )
+    elif not quick:
+        for extra, cost_ratio in extras:
+            # serial mode (SCORE_TPU_BENCH_THREADS=0): estimate each
+            # extra's cost as a multiple of the primary's measured
+            # compile+solve time and skip what cannot fit — never die
+            # mid-compile at the driver's deadline
+            est = cost_ratio * t_primary
             for attempt in (1, 2):
-                if (_remaining() < est
-                        or warm_ok.get(extra.name, True) is None):
+                if _remaining() < est:
                     skipped.append(extra.name)
                     print(
                         f"bench extra {extra.name} skipped: estimated "
@@ -475,9 +516,6 @@ def main() -> None:
                     extra.run()
                     break
                 except Exception:
-                    # ONE retry when the budget still fits it (the
-                    # remote-compile service fails transiently — e.g.
-                    # "response body closed before all bytes were read")
                     traceback.print_exc()
                     print(
                         f"bench extra {extra.name} failed "
