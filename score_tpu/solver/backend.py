@@ -86,3 +86,15 @@ class DenseBackend:
             resid = rhs - state.mask * (factors.K @ dx)
             dx = dx + chol_solve(factors.L, resid)
         return dx
+
+    @staticmethod
+    def solve_panel(problem: ConicProblem, state: ProblemOperators,
+                    factors: _DenseFactors, rhs_panel, params):
+        """Solve K dx = rhs for a (K_rhs, n) PANEL of right-hand sides
+        through the one factorization (triangular solves take multi-RHS
+        natively — one pass over L instead of K_rhs)."""
+        dx = chol_solve(factors.L, rhs_panel.T).T
+        for _ in range(params.kkt_refine_steps):
+            resid = rhs_panel - state.mask * (dx @ factors.K.T)
+            dx = dx + chol_solve(factors.L, resid.T).T
+        return dx

@@ -1481,6 +1481,175 @@ class ChainArrowBackend:
 
         return ChainArrowBackend._to_x(state, dx_full, dxl, dd)
 
+    # ---------------- multi-RHS panel solve ---------------- #
+
+    @staticmethod
+    def _band_solve_panel(st, factors: CAFactors, rc_K, ra_K):
+        """Panel variant of :meth:`_band_solve`: rc_K (K, C, T, D) and
+        ra_K (K, A) right-hand sides through ONE K-wide band solve — the
+        cyclic-reduction kernels take rhs panels natively (the arrow
+        coupling panel Z is already solved A-wide every factorization),
+        so a K-panel costs one factor traversal instead of K."""
+        C, T, D = st.C, st.T, st.D
+        K = rc_K.shape[0]
+        dtype = rc_K.dtype
+        if factors.dC is not None:
+            rc_K = rc_K * factors.dC
+            ra_K = ra_K * factors.dA
+        Tp = factors.B.shape[1]
+        rp = jnp.zeros((C, Tp, D, K), dtype=dtype).at[:, :T].set(
+            jnp.moveaxis(rc_K, 0, -1)
+        )
+        if isinstance(factors.pcr, SegPPCRFactors):
+            if st.shard_mesh is not None:
+                w = tfm.to_f64(
+                    _shmap_seg_solve(st, factors.pcr, tfm.from_f64(rp))
+                ).astype(dtype)
+            else:
+                w = tfm.to_f64(
+                    seg_solve_pallas(factors.pcr, tfm.from_f64(rp))
+                ).astype(dtype)
+        elif isinstance(factors.pcr, (PPCRFactors, CRFactors)):
+            if st.shard_mesh is not None:
+                w = tfm.to_f64(
+                    _shmap_ppcr_solve(st, factors.pcr, tfm.from_f64(rp))
+                ).astype(dtype)
+            else:
+                w = tfm.to_f64(
+                    ppcr_solve_pallas(factors.pcr, tfm.from_f64(rp))
+                ).astype(dtype)
+        elif isinstance(factors.pcr.L_odd, TF):
+            w = tfm.to_f64(
+                jax.vmap(pcr_solve_tf)(factors.pcr, tfm.from_f64(rp))
+            ).astype(dtype)
+        else:
+            w = jax.vmap(pcr_solve)(factors.pcr, rp)  # (C, Tp, D, K)
+        ra_schur = ra_K - jnp.einsum("ctia,ctik->ka", factors.B, w)
+        if factors.arrow_Lb is not None:
+            u = jax.vmap(
+                lambda r: blocked_upper_solve(
+                    factors.arrow_Lb, factors.arrow_Dinv,
+                    blocked_lower_solve(
+                        factors.arrow_Lb, factors.arrow_Dinv, r
+                    ),
+                )
+            )(ra_schur)
+        else:
+            u = _tri_T(factors.LS, _tri(factors.LS, ra_schur.T)).T
+        dxc = (
+            jnp.moveaxis(w, -1, 0)
+            - jnp.einsum("ctia,ka->kcti", factors.Z, u)
+        )[:, :, :T]
+        if factors.dC is not None:
+            dxc = dxc * factors.dC
+            u = u * factors.dA
+        return dxc, u
+
+    @staticmethod
+    def _solve_once_panel(problem: ConicProblem, state: CAState,
+                          factors: CAFactors, rhs_K):
+        """Panel variant of :meth:`_solve_once`: rhs_K (K, n). The
+        gather/eliminate/back-substitute stages are vmapped over the panel
+        (plain indexed jnp ops); the band+arrow core runs ONCE K-wide."""
+        st = state.structure
+        dtype = rhs_K.dtype
+
+        vc, vl, rd = jax.vmap(
+            lambda r: ChainArrowBackend._gather(state, r)
+        )(rhs_K)
+
+        if st.NR:
+            if st.relaxation == SOCP_RELAXATION:
+                tvec = factors.wv * (rd / factors.kdd[:, None])
+                ga, gb = -tvec, tvec
+            else:
+                tvec = jnp.einsum("mij,kmj->kmi", factors.kdd, rd)
+                c = (2.0 * state.rng_prec * state.rng_dist)[:, None]
+                ga, gb = c * tvec, -c * tvec
+            dc, dl = jax.vmap(
+                lambda a, b: ChainArrowBackend._range_endpoint_adjoint(
+                    state, a, b
+                )
+            )(ga, gb)
+            vc = vc + dc
+            vl = vl + dl
+
+        rc = vc * st.cm
+        combined = jnp.concatenate(
+            [
+                vc.reshape(vc.shape[0], -1),
+                vl.reshape(vl.shape[0], -1),
+                jnp.zeros((vc.shape[0], 1), dtype=dtype),
+            ],
+            axis=1,
+        )
+        ra = combined[:, st.arrow_src]
+
+        dxc, u = ChainArrowBackend._band_solve_panel(st, factors, rc, ra)
+
+        u_pad = jnp.concatenate(
+            [u, jnp.zeros((u.shape[0], 1), dtype=dtype)], axis=1
+        )
+        dx_full = dxc * st.cm + u_pad[:, st.arrow_col] * st.av
+        dxl = (
+            u[:, : st.NL * st.d].reshape(-1, st.NL, st.d)
+            if st.NL
+            else jnp.zeros((u.shape[0], 0, st.d), dtype=dtype)
+        )
+
+        if st.NR:
+            def backsub(dxf, dl, rd_):
+                dx_for_ends = ChainArrowBackend._to_x(
+                    state, dxf, dl, jnp.zeros_like(rd_)
+                )
+                ta, tb = ChainArrowBackend._range_endpoint_values(
+                    state, dx_for_ends
+                )
+                du = ta - tb
+                if st.relaxation == SOCP_RELAXATION:
+                    dd = (
+                        rd_[:, 0]
+                        - jnp.einsum("mi,mi->m", factors.wv, du)
+                    ) / factors.kdd
+                    dd = dd[:, None]
+                else:
+                    c = (2.0 * state.rng_prec * state.rng_dist)[:, None]
+                    dd = jnp.einsum("mij,mj->mi", factors.kdd, rd_ + c * du)
+                return dd
+
+            dd = jax.vmap(backsub)(dx_full, dxl, rd)
+        else:
+            dd = jnp.zeros_like(rd)
+
+        return jax.vmap(
+            lambda a, b, c_: ChainArrowBackend._to_x(state, a, b, c_)
+        )(dx_full, dxl, dd)
+
+    @staticmethod
+    def solve_panel(problem: ConicProblem, state: CAState,
+                    factors: CAFactors, rhs_K, params):
+        """Solve K dx_k = rhs_k for a (K, n) panel through one
+        factorization (see :meth:`solve`)."""
+        dx = ChainArrowBackend._solve_once_panel(
+            problem, state, factors, rhs_K
+        )
+        for _ in range(params.kkt_refine_steps):
+            def kkt_resid(x, r):
+                Gv = G_apply(problem, x)
+                Kdx = ChainArrowBackend.P_matvec(state, x) + (
+                    ChainArrowBackend.GT(
+                        problem, state,
+                        jnp.einsum("mij,mj->mi", factors.Winv2, Gv),
+                    )
+                )
+                return state.mask * (r - Kdx)
+
+            resid = jax.vmap(kkt_resid)(dx, rhs_K)
+            dx = dx + ChainArrowBackend._solve_once_panel(
+                problem, state, factors, resid
+            )
+        return dx
+
 
 # ------------------------------------------------------------------ #
 # Mixed precision

@@ -159,6 +159,25 @@ class IPMParams:
     # residual evaluations per iteration. The combined direction (the one
     # actually stepped along) is always refined per dir_refine_steps.
     refine_affine: bool = False
+    # EXPERIMENTAL (measured: a LOSS — keep off). Fuse the predictor:
+    # solve [affine | pure-centering e] as ONE two-RHS condensed PANEL
+    # and form the combined direction dirs_aff + sigma*mu*dirs_e by
+    # linearity of the Newton system — dropping Mehrotra's second-order
+    # correction term. The band kernels take rhs panels natively, so the
+    # 2-RHS panel costs ~one factor traversal and the pre-endgame
+    # condensed-solve count per iteration drops 2 -> 1. MEASURED
+    # (3-robot Manhattan, CPU f64, gondzio_correctors=2): QCQP converges
+    # but at 18 iterations vs 9 — the halved per-iteration cost is more
+    # than repaid; SOCP trajectories cut the gap so much slower that they
+    # traverse a relgap-INCREASING region (gap falls slower than |pobj|
+    # -> 0) and the stall detector exits at MAX_ITER. Mehrotra's
+    # correction is worth far more than one condensed solve per
+    # iteration; Gondzio correctors do not recover it. Kept (off) so the
+    # negative result stays reproducible; the panel machinery it rides on
+    # (backend.solve_panel) is independently tested. Ignores
+    # refine_affine (the panel's affine column is first-order, which is
+    # all sigma needs).
+    fuse_predictor: bool = False
     # Populate the per-step diagnostics channel (_State.diag) — includes
     # a full Newton-system residual evaluation (3 operator applications)
     # per step, so it's off on the production path; solve_conic_traced
@@ -405,18 +424,17 @@ def _step(backend, problem: ConicProblem, state_ops, params: IPMParams,
         )
         return f1, f2, f3
 
-    def solve_newton(rx_, rz_, d):
-        """Condensed solve + full-system iterative refinement: residuals of
-        all three Newton rows (including the W^{-2}-amplified roundoff in
-        the dz back-substitution) are corrected through one more condensed
-        solve per pass. The correction is accepted only when it REDUCES the
-        full-system residual: near mu -> 0 the condensed correction solve
-        amplifies complementarity-row residuals by ~||W||^3 and refinement
-        would otherwise diverge catastrophically (observed: f3 growing 1e4x
-        at the GOATS endgame)."""
-        dx, ds, dz = _condensed(rx_, rz_, d)
+    def refine_dirs(rx_, rz_, d, dirs0):
+        """Full-system iterative refinement of already-computed dirs:
+        residuals of all three Newton rows (including the W^{-2}-amplified
+        roundoff in the dz back-substitution) are corrected through one
+        more condensed solve per pass. The correction is accepted only
+        when it REDUCES the full-system residual: near mu -> 0 the
+        condensed correction solve amplifies complementarity-row residuals
+        by ~||W||^3 and refinement would otherwise diverge catastrophically
+        (observed: f3 growing 1e4x at the GOATS endgame)."""
         if params.dir_refine_steps == 0:
-            return dx, ds, dz
+            return dirs0
 
         def refined(dirs):
             dx, ds, dz = dirs
@@ -442,7 +460,7 @@ def _step(backend, problem: ConicProblem, state_ops, params: IPMParams,
             return dx, ds, dz
 
         if params.dir_refine_gate <= 0.0:
-            return refined((dx, ds, dz))
+            return refined(dirs0)
         # refinement only matters near convergence (see IPMParams.
         # dir_refine_gate); skip its solves while the iterate is far
         near = st.best_metric < params.dir_refine_gate
@@ -458,15 +476,36 @@ def _step(backend, problem: ConicProblem, state_ops, params: IPMParams,
 
         if params.branchless:
             if shared_refine is None:
-                return refined_masked((dx, ds, dz))
+                return refined_masked(dirs0)
             # batch mode: skip the refinement solves for the WHOLE batch
             # while no lane is near (the unbatched predicate keeps this a
             # real cond under vmap); per-lane `near` still selects inside.
             return jax.lax.cond(
-                shared_refine, refined_masked, lambda dirs: dirs,
-                (dx, ds, dz),
+                shared_refine, refined_masked, lambda dirs: dirs, dirs0
             )
-        return jax.lax.cond(near, refined, lambda dirs: dirs, (dx, ds, dz))
+        return jax.lax.cond(near, refined, lambda dirs: dirs, dirs0)
+
+    def solve_newton(rx_, rz_, d):
+        return refine_dirs(rx_, rz_, d, _condensed(rx_, rz_, d))
+
+    def _condensed_panel(rx_K, rz_K, d_K):
+        """K condensed Newton solves through ONE K-wide band panel (see
+        :func:`_condensed`; the cone algebra and operator applications
+        are vmapped over the panel, the factor traversal runs once)."""
+        v = jax.vmap(
+            lambda dd: cones.apply_W(nt, cones.jordan_solve(lam, dd))
+        )(d_K)
+        rzv = rz_K + v
+        wrz = jax.vmap(lambda r: cones.apply_Winv2(nt, r))(rzv)
+        rhs = state_ops.mask * (
+            -(rx_K)
+            - jax.vmap(lambda w: backend.GT(problem, state_ops, w))(wrz)
+        )
+        dx = backend.solve_panel(problem, state_ops, factors, rhs, params)
+        Gdx = jax.vmap(lambda x_: backend.G(problem, state_ops, x_))(dx)
+        dz = jax.vmap(lambda g: cones.apply_Winv2(nt, g))(Gdx + rzv)
+        ds = -rz_K - Gdx
+        return dx, ds, dz
 
     def kkt_dirs(d):
         return solve_newton(rx, rz, d)
@@ -482,25 +521,52 @@ def _step(backend, problem: ConicProblem, state_ops, params: IPMParams,
         zero_z = jnp.zeros_like(rz)
         return _condensed(zero_x, zero_z, d)
 
-    # --- affine (predictor) direction ---
-    d_aff = -cones.jordan_mul(lam, lam)
-    if params.refine_affine:
-        dx_a, ds_a, dz_a = kkt_dirs(d_aff)
-    else:
-        dx_a, ds_a, dz_a = _condensed(rx, rz, d_aff)
-    alpha_a = jnp.minimum(
-        1.0, jnp.minimum(cones.max_step(s, ds_a), cones.max_step(z, dz_a))
-    )
-    gap_a = cones.inner(s + alpha_a * ds_a, z + alpha_a * dz_a)
-    sigma = jnp.clip((jnp.maximum(gap_a, 0.0) / gap) ** 3, 0.0, 1.0)
-
-    # --- combined (corrector) direction ---
     e = cones.soc_identity(N, problem.k, dtype)
-    correction = cones.jordan_mul(
-        cones.apply_Winv(nt, ds_a), cones.apply_W(nt, dz_a)
-    )
-    d_comb = d_aff - correction + sigma * mu * e
-    dx, ds, dz = kkt_dirs(d_comb)
+    d_aff = -cones.jordan_mul(lam, lam)
+    if params.fuse_predictor:
+        # --- fused predictor: [affine | centering] as ONE 2-RHS panel ---
+        # By linearity of the Newton system the combined direction for
+        # d = d_aff + sigma*mu*e is dirs_aff + sigma*mu*dirs_e, so both
+        # solves collapse into one band-panel traversal; Mehrotra's
+        # second-order correction term is dropped (see IPMParams.
+        # fuse_predictor — Gondzio correctors re-supply it where enabled).
+        zx, zz = jnp.zeros_like(rx), jnp.zeros_like(rz)
+        dx_K, ds_K, dz_K = _condensed_panel(
+            jnp.stack([rx, zx]),
+            jnp.stack([rz, zz]),
+            jnp.stack([d_aff, e]),
+        )
+        dx_a, ds_a, dz_a = dx_K[0], ds_K[0], dz_K[0]
+        alpha_a = jnp.minimum(
+            1.0,
+            jnp.minimum(cones.max_step(s, ds_a), cones.max_step(z, dz_a)),
+        )
+        gap_a = cones.inner(s + alpha_a * ds_a, z + alpha_a * dz_a)
+        sigma = jnp.clip((jnp.maximum(gap_a, 0.0) / gap) ** 3, 0.0, 1.0)
+        d_comb = d_aff + sigma * mu * e
+        dx = dx_a + sigma * mu * dx_K[1]
+        ds = ds_a + sigma * mu * ds_K[1]
+        dz = dz_a + sigma * mu * dz_K[1]
+        dx, ds, dz = refine_dirs(rx, rz, d_comb, (dx, ds, dz))
+    else:
+        # --- affine (predictor) direction ---
+        if params.refine_affine:
+            dx_a, ds_a, dz_a = kkt_dirs(d_aff)
+        else:
+            dx_a, ds_a, dz_a = _condensed(rx, rz, d_aff)
+        alpha_a = jnp.minimum(
+            1.0,
+            jnp.minimum(cones.max_step(s, ds_a), cones.max_step(z, dz_a)),
+        )
+        gap_a = cones.inner(s + alpha_a * ds_a, z + alpha_a * dz_a)
+        sigma = jnp.clip((jnp.maximum(gap_a, 0.0) / gap) ** 3, 0.0, 1.0)
+
+        # --- combined (corrector) direction ---
+        correction = cones.jordan_mul(
+            cones.apply_Winv(nt, ds_a), cones.apply_W(nt, dz_a)
+        )
+        d_comb = d_aff - correction + sigma * mu * e
+        dx, ds, dz = kkt_dirs(d_comb)
 
     def step_len(ds_, dz_):
         return jnp.minimum(

@@ -322,3 +322,83 @@ class TestManyRobots:
         assert float(r_ca.pobj) == pytest.approx(
             float(r_d.pobj), rel=1e-5, abs=1e-6
         )
+
+
+class TestPanelSolve:
+    """K-wide multi-RHS condensed solves (`solve_panel`) must match K
+    independent `solve` calls exactly — the panel threads the SAME
+    factorization through one band traversal (the fused-predictor IPM
+    path rides on this)."""
+
+    def _check(self, backend, problem, state, factors, rhs_K, params):
+        dx_panel = backend.solve_panel(problem, state, factors, rhs_K, params)
+        dx_loop = jnp.stack(
+            [
+                backend.solve(problem, state, factors, rhs_K[i], params)
+                for i in range(rhs_K.shape[0])
+            ]
+        )
+        scale = float(jnp.max(jnp.abs(dx_loop))) + 1e-12
+        np.testing.assert_allclose(
+            np.asarray(dx_panel) / scale,
+            np.asarray(dx_loop) / scale,
+            atol=1e-12,
+        )
+
+    @pytest.mark.parametrize(
+        "relaxation", [SOCP_RELAXATION, QCQP_RELAXATION]
+    )
+    def test_panel_matches_stacked_solves(self, rng, relaxation):
+        params = IPMParams(kkt_refine_steps=1)
+        for label, fg in graphs(rng):
+            problem, idx = build_conic_problem(fg, relaxation)
+            ca = build_chain_arrow(problem, idx)
+            s = interior(rng, problem.num_cones, problem.k)
+            z = interior(rng, problem.num_cones, problem.k)
+            Winv2 = cones.winv2_matrices(cones.nt_scaling(s, z))
+            rhs_K = jnp.asarray(rng.normal(size=(3, problem.n)))
+            ds = DenseBackend.prepare(problem)
+            rhs_K = rhs_K * ds.mask
+            fd = DenseBackend.factor(problem, ds, Winv2, params)
+            self._check(DenseBackend, problem, ds, fd, rhs_K, params)
+            cs = ChainArrowBackend.prepare(problem, ca)
+            fc = ChainArrowBackend.factor(problem, cs, Winv2, params)
+            self._check(ChainArrowBackend, problem, cs, fc, rhs_K, params)
+
+    def test_panel_matches_stacked_solves_mixed(self, rng):
+        from score_tpu.solver.chain_arrow import MixedChainArrowBackend
+
+        params = IPMParams(kkt_refine_steps=1)
+        fg = graphs(rng)[1][1]  # 3robot
+        problem, idx = build_conic_problem(fg, SOCP_RELAXATION)
+        ca = build_chain_arrow(problem, idx)
+        s = interior(rng, problem.num_cones, problem.k)
+        z = interior(rng, problem.num_cones, problem.k)
+        Winv2 = cones.winv2_matrices(cones.nt_scaling(s, z))
+        cs = MixedChainArrowBackend.prepare(problem, ca)
+        rhs_K = jnp.asarray(rng.normal(size=(3, problem.n))) * cs.mask
+        fc = MixedChainArrowBackend.factor(problem, cs, Winv2, params)
+        self._check(MixedChainArrowBackend, problem, cs, fc, rhs_K, params)
+
+    def test_fused_predictor_qcqp_converges(self, rng):
+        """The experimental fuse_predictor path (see IPMParams: a measured
+        LOSS, kept off by default) must still converge on QCQP — this
+        pins the documented behavior (more iterations, same solution)
+        and keeps the _condensed_panel code path exercised end-to-end."""
+        fg = graphs(rng)[1][1]  # 3robot
+        problem, idx = build_conic_problem(fg, QCQP_RELAXATION)
+        aux = build_chain_arrow(problem, idx)
+        r_ref = solve_conic(
+            problem, IPMParams(max_iter=50),
+            backend=ChainArrowBackend, backend_aux=aux,
+        )
+        r_fuse = solve_conic(
+            problem, IPMParams(max_iter=50, fuse_predictor=True),
+            backend=ChainArrowBackend, backend_aux=aux,
+        )
+        assert int(r_fuse.status) in SOLVED_STATUSES
+        assert float(r_fuse.pobj) == pytest.approx(
+            float(r_ref.pobj), rel=1e-5, abs=1e-6
+        )
+        # the documented cost: the fused path converges SLOWER
+        assert int(r_fuse.iterations) >= int(r_ref.iterations)
