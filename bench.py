@@ -48,21 +48,36 @@ def _remaining() -> float:
 
 
 def _ensure_backend_reachable() -> str:
-    """Probe the TPU tunnel from a throwaway subprocess; fall back to CPU
-    if it is unreachable.
+    """Probe the TPU tunnel from throwaway subprocesses; fall back to CPU
+    only after several attempts spread over minutes.
 
-    The axon pool is single-client and can wedge for hours (backend init
-    hangs or fails UNAVAILABLE — see CLAUDE.md). A bench run launched into
-    a wedged pool would hang at init and produce NO artifact, so before
-    importing jax in this process we jit a trivial kernel in a subprocess
-    under a timeout. On failure we clear ``PALLAS_AXON_POOL_IPS`` (required
-    — ``JAX_PLATFORMS=cpu`` alone is overridden by the plugin) so the whole
-    bench runs on the CPU chain+arrow path instead of hanging. Returns the
-    platform string recorded in the primary metric line.
+    The axon pool is single-client and wedges TRANSIENTLY (backend init
+    hangs or fails UNAVAILABLE "until the pool recovers on its own" —
+    CLAUDE.md). A bench run launched into a wedged pool would hang at
+    init and produce NO artifact, so before importing jax in this process
+    we jit a trivial kernel in a subprocess under a timeout — and because
+    one failed probe is weak evidence of a durable outage (the r4 driver
+    run lost its entire TPU table to a single-shot probe), we retry up to
+    SCORE_TPU_PROBE_ATTEMPTS times (default 4) with a pause between
+    attempts, ~8 minutes worst case. Only then do we clear
+    ``PALLAS_AXON_POOL_IPS`` (required — ``JAX_PLATFORMS=cpu`` alone is
+    overridden by the plugin) and re-exec onto the CPU chain+arrow path,
+    where the FULL table still runs (CPU compiles are local and fast; a
+    complete CPU artifact beats one row). Returns the platform string
+    recorded in the primary metric line.
     """
     if not os.environ.get("PALLAS_AXON_POOL_IPS"):
         return "cpu"
-    timeout_s = float(os.environ.get("SCORE_TPU_PROBE_TIMEOUT", "300"))
+    # Healthy-pool backend init has been measured at 75-175 s through the
+    # tunnel, so per-attempt timeouts must stay ≥ the slow-but-healthy
+    # envelope; later attempts shorten (a recovered pool grants fast).
+    timeouts = [
+        float(t)
+        for t in os.environ.get(
+            "SCORE_TPU_PROBE_TIMEOUT", "300,180,180"
+        ).split(",")
+    ]
+    retry_pause_s = float(os.environ.get("SCORE_TPU_PROBE_PAUSE", "30"))
     import subprocess
 
     code = (
@@ -70,38 +85,52 @@ def _ensure_backend_reachable() -> str:
         "x = jax.jit(lambda a: a*2+1)(jnp.ones((8,128)));"
         "print('PROBE_OK', float(x.ravel()[0]), jax.default_backend())"
     )
-    try:
-        out = subprocess.run(
-            [sys.executable, "-c", code],
-            timeout=timeout_s, capture_output=True, text=True,
+    attempts = len(timeouts)
+    for attempt, timeout_s in enumerate(timeouts, start=1):
+        try:
+            out = subprocess.run(
+                [sys.executable, "-c", code],
+                timeout=timeout_s, capture_output=True, text=True,
+            )
+            if "PROBE_OK" in out.stdout:
+                return out.stdout.split()[-1].strip()
+            detail = (out.stderr or out.stdout).strip().splitlines()
+            detail = detail[-1] if detail else "no output"
+        except subprocess.TimeoutExpired:
+            detail = f"timed out after {timeout_s:.0f}s"
+        print(
+            f"TPU probe attempt {attempt}/{attempts} failed ({detail})",
+            file=sys.stderr, flush=True,
         )
-        if "PROBE_OK" in out.stdout:
-            return out.stdout.split()[-1].strip()
-    except subprocess.TimeoutExpired:
-        pass
+        if attempt < attempts:
+            # a killed/waiting client can hold the grant for a while;
+            # give the pool time to recover before re-probing
+            time.sleep(retry_pause_s)
     print(
-        "TPU probe failed/timed out — falling back to CPU (primary metric "
-        "will carry platform='cpu')",
+        f"TPU unreachable after {attempts} probe attempts — falling back "
+        "to CPU (full table; primary metric will carry platform='cpu')",
         file=sys.stderr, flush=True,
     )
     # The axon sitecustomize registers the PJRT plugin (and imports jax)
     # at interpreter startup, so mutating os.environ here is too late —
     # this process would still try to initialize the wedged backend.
     # Re-exec with a clean environment instead; the cleared POOL_IPS makes
-    # the probe in the fresh process return "cpu" immediately.
+    # the probe in the fresh process return "cpu" immediately. The full
+    # extras table still runs (budget-guarded) — QUICK=1 is NOT forced.
     env = dict(os.environ)
     env["PALLAS_AXON_POOL_IPS"] = ""
     env["JAX_PLATFORMS"] = "cpu"
-    # CPU extras are minutes-slow; keep the artifact timely unless the
-    # caller explicitly asked for the full table.
-    env.setdefault("SCORE_TPU_BENCH_QUICK", "1")
     sys.stderr.flush()
     sys.stdout.flush()
     os.execve(sys.executable, [sys.executable] + sys.argv, env)
     return "cpu"  # unreachable
 
 
+_PLATFORM = "unknown"  # set by main() from the probe result
+
+
 def _emit(obj, primary=False):
+    obj.setdefault("platform", _PLATFORM)
     line = json.dumps(obj)
     print(line, file=sys.stderr, flush=True)
     if primary:
@@ -342,7 +371,9 @@ class _McBatchExtra:
 
 
 def main() -> None:
+    global _PLATFORM
     platform = _ensure_backend_reachable()
+    _PLATFORM = platform
     # host assembly is ~3x faster through the native extension; build it
     # on first use (best-effort — the pure-python fallback is correct)
     try:
@@ -388,13 +419,15 @@ def main() -> None:
             (_SolveScoreExtra(
                 "extra_3d", "solve3d_1000pose_socp_wall_clock",
                 _build_3d), 2.5),
+            # relgap asserts at the BASELINE.md north-star 1e-6 — the
+            # solver delivers 4.9e-8 (QCQP) / 2.3e-7 (manhattan-4), so
+            # the loose 1e-5 of earlier rounds understated it
             (_SolveScoreExtra(
                 "extra_qcqp", "goats14_qcqp_solve_wall_clock",
-                _build_goats(goats_fg), relaxation="QCQP",
-                relgap_tol=1e-5), 1.15),
+                _build_goats(goats_fg), relaxation="QCQP"), 1.15),
             (_SolveScoreExtra(
                 "extra_manhattan4", "manhattan4_socp_solve_wall_clock",
-                _build_manhattan4, relgap_tol=1e-5), 1.35),
+                _build_manhattan4), 1.35),
             (_McBatchExtra(), 4.5),
         ]
     else:
@@ -468,6 +501,14 @@ def main() -> None:
                     continue
                 pending.remove(extra)
                 progressed = True
+                if warm_ok.get(extra.name) is False:
+                    # surfaced in the artifact log: this extra's timed
+                    # run() re-pays its compile inline (warm failed)
+                    print(
+                        f"bench extra {extra.name}: warm phase failed — "
+                        "run() will re-pay the compile",
+                        file=sys.stderr, flush=True,
+                    )
                 for attempt in (1, 2):
                     if _remaining() < 30.0:
                         skipped.append(extra.name)
