@@ -521,9 +521,9 @@ def _step(backend, problem: ConicProblem, state_ops, params: IPMParams,
         zero_z = jnp.zeros_like(rz)
         return _condensed(zero_x, zero_z, d)
 
-    e = cones.soc_identity(N, problem.k, dtype)
     d_aff = -cones.jordan_mul(lam, lam)
     if params.fuse_predictor:
+        e = cones.soc_identity(N, problem.k, dtype)
         # --- fused predictor: [affine | centering] as ONE 2-RHS panel ---
         # By linearity of the Newton system the combined direction for
         # d = d_aff + sigma*mu*e is dirs_aff + sigma*mu*dirs_e, so both
@@ -562,6 +562,12 @@ def _step(backend, problem: ConicProblem, state_ops, params: IPMParams,
         sigma = jnp.clip((jnp.maximum(gap_a, 0.0) / gap) ** 3, 0.0, 1.0)
 
         # --- combined (corrector) direction ---
+        # (soc_identity is built HERE, not hoisted above the branch: op
+        # emission order is part of the lowered HLO, and the AOT
+        # executable cache keys blobs on the HLO digest — keeping the
+        # default path's trace byte-identical across refactors lets a
+        # fresh tree adopt previously compiled executables)
+        e = cones.soc_identity(N, problem.k, dtype)
         correction = cones.jordan_mul(
             cones.apply_Winv(nt, ds_a), cones.apply_W(nt, dz_a)
         )
