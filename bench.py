@@ -69,12 +69,16 @@ def _ensure_backend_reachable() -> str:
     if not os.environ.get("PALLAS_AXON_POOL_IPS"):
         return "cpu"
     # Healthy-pool backend init has been measured at 75-175 s through the
-    # tunnel, so per-attempt timeouts must stay ≥ the slow-but-healthy
-    # envelope; later attempts shorten (a recovered pool grants fast).
+    # tunnel — but a healthy pool with a cold remote-compile service has
+    # been measured taking 413 s for this same trivial kernel (r5), so
+    # per-attempt timeouts must stay ≥ the slow-but-healthy envelope;
+    # later attempts shorten (a recovered pool grants fast). Worst case
+    # ~18 min of probing still leaves room for the cache-loaded TPU
+    # table (~5 min) inside the 2250 s budget.
     timeouts = [
         float(t)
         for t in os.environ.get(
-            "SCORE_TPU_PROBE_TIMEOUT", "300,180,180"
+            "SCORE_TPU_PROBE_TIMEOUT", "480,300,240"
         ).split(",")
     ]
     retry_pause_s = float(os.environ.get("SCORE_TPU_PROBE_PAUSE", "30"))
