@@ -293,6 +293,27 @@ def _build_3d():
     )
 
 
+def _build_3d_single_chain():
+    # 3D 1000-pose SINGLE-chain world: the genuine long-single-chain
+    # configuration the reference's dim-3 builder implies for an
+    # AUV-style deployment (gurobi_utils.py:37-50). T ~ 1024 > 256, so
+    # the mixed backend routes the SPIKE-segmented Pallas band
+    # (pallas_pcr.seg_factor_pallas; tests/test_pallas_pcr.py::
+    # test_segmented_band_matches_dense). Its compile is the most
+    # expensive of the suite (~55 min remote), so the extra is LAST in
+    # priority: with the AOT cache populated it loads in ~1 s; cold it
+    # is abandoned/skipped at the budget deadline without harming the
+    # other rows. CPU-validated: 2363 ranges, 16 iters, relgap 3.7e-7.
+    from score_tpu.sim.world3d import World3DParams, simulate_3d_world
+
+    return simulate_3d_world(
+        World3DParams(
+            num_robots=1, num_poses_per_robot=1000, num_landmarks=6,
+            range_measure_prob=0.4, seed=3,
+        )
+    )
+
+
 class _McBatchExtra:
     """100-trial Monte-Carlo batch (vmapped mixed band)."""
 
@@ -443,6 +464,12 @@ def main() -> None:
                 "extra_manhattan4", "manhattan4_socp_solve_wall_clock",
                 _build_manhattan4), 1.35),
             (_McBatchExtra(), 4.5),
+            # last: ~55-min cold compile, ~1 s from the AOT cache; the
+            # budget guard skips it when cold rather than losing rows
+            (_SolveScoreExtra(
+                "extra_3d_single_chain",
+                "solve3d_single_chain_socp_wall_clock",
+                _build_3d_single_chain), 12.0),
         ]
     else:
         goats_fg = None
