@@ -134,6 +134,12 @@ def _ensure_backend_reachable() -> str:
     env = dict(os.environ)
     env["PALLAS_AXON_POOL_IPS"] = ""
     env["JAX_PLATFORMS"] = "cpu"
+    # never load AOT-cached executables on the CPU path: XLA:CPU AOT
+    # results are pinned to the compile machine's CPU features and
+    # SEGFAULT when the host changes across driver sessions (measured:
+    # cpu_aot_loader "+prefer-no-scatter not supported" then SIGSEGV).
+    # CPU compiles are local and fast; the cache buys nothing here.
+    env["SCORE_TPU_AOT_CACHE"] = "0"
     sys.stderr.flush()
     sys.stdout.flush()
     os.execve(sys.executable, [sys.executable] + sys.argv, env)
@@ -142,9 +148,18 @@ def _ensure_backend_reachable() -> str:
 
 _PLATFORM = "unknown"  # set by main() from the probe result
 
+# every metric row emitted this run, last emission wins per metric —
+# re-emitted as ONE {"summary": [...]} line at the very end, because
+# the driver's BENCH artifact records only the TAIL of combined output
+# (BENCH_r03/r04: ~4 lines) and rows printed early in a 7-workload run
+# would otherwise scroll out of the artifact
+_ROWS = {}
+
 
 def _emit(obj, primary=False):
     obj.setdefault("platform", _PLATFORM)
+    if "metric" in obj:
+        _ROWS[obj["metric"]] = obj
     line = json.dumps(obj)
     print(line, file=sys.stderr, flush=True)
     if primary:
@@ -409,6 +424,12 @@ def main() -> None:
     global _PLATFORM
     platform = _ensure_backend_reachable()
     _PLATFORM = platform
+    if platform != "tpu":
+        # same hazard as the re-exec path above: a direct CPU run
+        # (POOL_IPS unset) must not load machine-pinned XLA:CPU AOT
+        # blobs compiled on an earlier host. score_tpu reads the env
+        # var lazily, so disabling here is effective.
+        os.environ["SCORE_TPU_AOT_CACHE"] = "0"
     # host assembly is ~3x faster through the native extension; build it
     # on first use (best-effort — the pure-python fallback is correct)
     try:
@@ -626,9 +647,21 @@ def main() -> None:
                 _emit(primary_line)
         except Exception:
             traceback.print_exc()
-    # Re-emit the primary metric line last on stdout so a parser that
-    # reads the final JSON line of the run's output records the primary
-    # workload (BENCH_r03's `parsed` field picked up the qcqp row).
+    # The driver's BENCH artifact keeps only the tail of combined
+    # output, so pack EVERY row into one summary line here at the end
+    # (the full table survives any tail length >= 2 lines)...
+    _ROWS[primary_line["metric"]] = primary_line
+    if len(_ROWS) > 1:
+        print(
+            json.dumps(
+                {"summary": list(_ROWS.values()), "platform": _PLATFORM}
+            ),
+            flush=True,
+        )
+    # ...and re-emit the primary metric line LAST on stdout so a parser
+    # that reads the final JSON line of the run's output records the
+    # primary workload (BENCH_r03's `parsed` field picked up the qcqp
+    # row).
     print(json.dumps(primary_line), flush=True)
 
 
